@@ -1,0 +1,288 @@
+"""Ingest NVIDIA StyleGAN2 network pickles without executing embedded source.
+
+The reference loads G_ema/D with a plain `pickle.load`
+(augments/utils/util_latent_aug.py:466-484), which *executes* the module
+source embedded by torch_utils.persistence (persistence.py:118-126).
+That is both a security hazard and impossible for a JAX runtime. Instead
+we use a restricted unpickler that:
+
+  * allows torch/numpy/collections primitives (needed to materialize the
+    tensors themselves),
+  * intercepts `torch_utils.persistence._reconstruct_persistent_obj` and
+    returns the raw persistence payload (init_args/init_kwargs + state
+    dict) WITHOUT reconstructing or exec'ing anything,
+  * maps the recovered state dict onto our functional param tree — the
+    name contract mirrors legacy.py:171-203's role as the canonical
+    param naming table.
+
+Also understands plain state-dict pickles and our own checkpoints
+(nested dict of numpy arrays saved by save_checkpoint), so users can
+export from torch once and stay native afterwards.
+"""
+
+import io
+import pickle
+
+import numpy as np
+
+from ...utils.util_easydict import EasyDict
+from . import networks
+
+
+class _PersistencePayload(EasyDict):
+    """Marker for an intercepted persistence-pickled torch module."""
+
+
+def _reconstruct_stub(meta):
+    return _PersistencePayload(meta)
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Allow tensor/state reconstruction; forbid arbitrary code objects."""
+
+    _ALLOWED_PREFIXES = (
+        "torch.", "torch_utils.", "numpy.", "numpy", "collections.",
+        "builtins.",
+    )
+
+    def find_class(self, module, name):
+        full = f"{module}.{name}"
+        if module == "torch_utils.persistence" and name == "_reconstruct_persistent_obj":
+            return _reconstruct_stub
+        if module.startswith("torch_utils"):
+            # Any other torch_utils symbol (e.g. EasyDict inside metadata).
+            if name == "EasyDict":
+                return EasyDict
+            return _reconstruct_stub
+        if module == "dnnlib.util" and name == "EasyDict":
+            return EasyDict
+        if module.startswith("dnnlib"):
+            return EasyDict
+        if any(full.startswith(p) or module == p.rstrip(".") for p in self._ALLOWED_PREFIXES):
+            import importlib
+
+            mod = importlib.import_module(module)
+            return getattr(mod, name)
+        raise pickle.UnpicklingError(f"Blocked unpickle of {full}")
+
+
+def load_network_pickle(path_or_file):
+    """Load an NVIDIA-format pickle -> dict of _PersistencePayload / tensors."""
+    if hasattr(path_or_file, "read"):
+        data = path_or_file.read()
+    else:
+        with open(path_or_file, "rb") as f:
+            data = f.read()
+    return _RestrictedUnpickler(io.BytesIO(data)).load()
+
+
+def _tensor_to_np(t):
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def payload_state_dict(payload):
+    """Flat {name: np.ndarray} from a persistence payload's module state."""
+    state = payload.get("state", payload)
+    flat = {}
+
+    def visit(prefix, obj):
+        if hasattr(obj, "detach") or isinstance(obj, np.ndarray):
+            flat[prefix] = _tensor_to_np(obj)
+            return
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                if not isinstance(k, str):
+                    continue
+                name = f"{prefix}.{k}" if prefix else k
+                visit(name, v)
+
+    # torch nn.Module __getstate__ is its __dict__, with _parameters/_buffers/
+    # _modules nesting; flatten those transparently.
+    def visit_module(prefix, d):
+        for bucket in ("_parameters", "_buffers"):
+            for k, v in d.get(bucket, {}).items():
+                if v is not None:
+                    flat[(f"{prefix}.{k}" if prefix else k)] = _tensor_to_np(v)
+        for k, sub in d.get("_modules", {}).items():
+            if sub is None:
+                continue
+            sub_d = sub.__dict__ if not isinstance(sub, dict) else sub
+            visit_module(f"{prefix}.{k}" if prefix else k, sub_d)
+
+    if isinstance(state, dict) and "_modules" in state:
+        visit_module("", state)
+    else:
+        visit("", state)
+    return flat
+
+
+def infer_generator_config(payload, img_resolution=None, img_channels=None):
+    """Build our generator_config from persistence init kwargs (or overrides)."""
+    kwargs = EasyDict()
+    for key in ("init_kwargs",):
+        if key in payload:
+            kwargs.update(payload[key])
+    syn = kwargs.get("synthesis_kwargs", {}) or {}
+    mapping = kwargs.get("mapping_kwargs", {}) or {}
+    return networks.generator_config(
+        z_dim=kwargs.get("z_dim", 512),
+        c_dim=kwargs.get("c_dim", 0),
+        w_dim=kwargs.get("w_dim", 512),
+        img_resolution=img_resolution or kwargs.get("img_resolution", 256),
+        img_channels=img_channels or kwargs.get("img_channels", 2),
+        channel_base=syn.get("channel_base", 32768),
+        channel_max=syn.get("channel_max", 512),
+        num_mapping_layers=mapping.get("num_layers", 8),
+        conv_clamp=syn.get("conv_clamp", 256),
+        num_fp16_res=0,  # bf16 selection is a runtime knob on TPU
+    )
+
+
+def infer_discriminator_config(payload, img_resolution=None, img_channels=None):
+    kwargs = EasyDict()
+    if "init_kwargs" in payload:
+        kwargs.update(payload["init_kwargs"])
+    block = kwargs.get("block_kwargs", {}) or {}
+    return networks.discriminator_config(
+        c_dim=kwargs.get("c_dim", 0),
+        img_resolution=img_resolution or kwargs.get("img_resolution", 256),
+        img_channels=img_channels or kwargs.get("img_channels", 2),
+        channel_base=kwargs.get("channel_base", 32768),
+        channel_max=kwargs.get("channel_max", 512),
+        conv_clamp=block.get("conv_clamp", kwargs.get("conv_clamp", 256)),
+    )
+
+
+# ----------------------------------------------------------------------------
+# State-dict -> functional param tree
+
+def _set_path(tree, path, value):
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value, dtype=np.float32)
+
+
+def generator_tree_from_state(state, cfg):
+    """Map torch G state-dict names onto our nested param tree.
+
+    Torch names: mapping.fc{i}.{weight,bias}, mapping.w_avg,
+    synthesis.b{res}.const, synthesis.b{res}.{conv0,conv1}.
+    {weight,bias,noise_const,noise_strength,affine.weight,affine.bias},
+    synthesis.b{res}.torgb.*, synthesis.b{res}.resample_filter.
+    """
+    tree = {"mapping": {}, "synthesis": {}}
+    resample_filter = None
+    for name, value in state.items():
+        if name.endswith("resample_filter"):
+            resample_filter = np.asarray(value, dtype=np.float32)
+            continue
+        if name.startswith("mapping.fc"):
+            # mapping.fc0.weight -> mapping/fc0/weight
+            _, fc, leaf = name.split(".")
+            tree["mapping"].setdefault(fc, {})[leaf] = np.asarray(value, np.float32)
+        elif name == "mapping.w_avg":
+            tree["mapping"]["w_avg"] = np.asarray(value, np.float32)
+        elif name.startswith("synthesis."):
+            sub = name[len("synthesis."):]
+            _set_path(tree["synthesis"], sub, value)
+        else:
+            _set_path(tree, name, value)
+    if resample_filter is None:
+        from ...ops import setup_filter
+
+        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=False))
+    tree["synthesis"]["resample_filter"] = resample_filter
+    _strip_noise_strength_scalars(tree["synthesis"])
+    return tree
+
+
+def _strip_noise_strength_scalars(syn_tree):
+    for block in syn_tree.values():
+        if not isinstance(block, dict):
+            continue
+        for conv in ("conv0", "conv1"):
+            layer = block.get(conv)
+            if isinstance(layer, dict) and "noise_strength" in layer:
+                layer["noise_strength"] = np.asarray(layer["noise_strength"],
+                                                     np.float32).reshape(())
+
+
+def discriminator_tree_from_state(state, cfg):
+    tree = {}
+    resample_filter = None
+    for name, value in state.items():
+        if name.endswith("resample_filter"):
+            resample_filter = np.asarray(value, dtype=np.float32)
+            continue
+        _set_path(tree, name, value)
+    if resample_filter is None:
+        from ...ops import setup_filter
+
+        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=False))
+    tree["resample_filter"] = resample_filter
+    return tree
+
+
+def load_stylegan(path, img_resolution=None, img_channels=None):
+    """Full loader: pickle -> (G_params, G_cfg, D_params, D_cfg).
+
+    Accepts NVIDIA persistence pickles ({'G_ema': ..., 'D': ...}) or our
+    native checkpoints ({'G': {'cfg':..., 'params':...}, 'D': {...}}).
+    """
+    obj = load_network_pickle(path)
+
+    if isinstance(obj, dict) and "G" in obj and isinstance(obj["G"], dict) \
+            and "params" in obj["G"]:
+        g_cfg = networks.generator_config(**obj["G"]["cfg"])
+        d_cfg = networks.discriminator_config(**obj["D"]["cfg"]) if "D" in obj else None
+        return (obj["G"]["params"], g_cfg,
+                obj.get("D", {}).get("params"), d_cfg)
+
+    g_payload = obj["G_ema"] if "G_ema" in obj else obj.get("G")
+    d_payload = obj.get("D")
+    g_cfg = infer_generator_config(g_payload, img_resolution, img_channels)
+    g_state = payload_state_dict(g_payload)
+    g_params = generator_tree_from_state(g_state, g_cfg)
+    d_params, d_cfg = None, None
+    if d_payload is not None:
+        d_cfg = infer_discriminator_config(d_payload, img_resolution, img_channels)
+        d_state = payload_state_dict(d_payload)
+        d_params = discriminator_tree_from_state(d_state, d_cfg)
+    return g_params, g_cfg, d_params, d_cfg
+
+
+def save_checkpoint(path, g_params=None, g_cfg=None, d_params=None, d_cfg=None):
+    """Save a native (torch-free) checkpoint as a nested-numpy pickle."""
+    import jax
+
+    def to_np_tree(t):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), t)
+
+    obj = {}
+    if g_params is not None:
+        obj["G"] = {"cfg": _cfg_kwargs(g_cfg, kind="G"), "params": to_np_tree(g_params)}
+    if d_params is not None:
+        obj["D"] = {"cfg": _cfg_kwargs(d_cfg, kind="D"), "params": to_np_tree(d_params)}
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
+
+
+def _cfg_kwargs(cfg, kind):
+    if kind == "G":
+        keys = ("z_dim", "c_dim", "w_dim", "img_resolution", "img_channels",
+                "channel_base", "channel_max", "num_mapping_layers", "conv_clamp",
+                "num_fp16_res", "mapping_lr_multiplier")
+    else:
+        keys = ("c_dim", "img_resolution", "img_channels", "channel_base",
+                "channel_max", "conv_clamp", "num_fp16_res", "mbstd_group_size",
+                "mbstd_num_channels")
+    return {k: cfg[k] for k in keys if k in cfg}

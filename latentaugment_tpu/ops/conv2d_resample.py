@@ -1,0 +1,148 @@
+"""2D convolution with optional up/downsampling (fused resampling algebra).
+
+Parity: reference models/stylegan3/torch_utils/ops/conv2d_resample.py:46-141
+— the same padding algebra and fast-path ordering (1x1 special cases,
+strided down-conv, transpose-strided up-conv, plain conv, generic
+fallback). The torch conv2d/conv_transpose2d + custom-gradfix machinery
+collapses into `lax.conv_general_dilated`, whose transposed form is
+expressed with `lhs_dilation` and whose gradients XLA derives natively.
+
+All tensors NCHW, weights OIHW ([out, in//groups, kh, kw]).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
+
+
+def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
+                    flip_weight=True):
+    """Mirror of the reference `_conv2d_wrapper` (conv2d_resample.py:29-41).
+
+    flip_weight=True means cross-correlation (the torch conv2d convention);
+    False flips the kernel spatially first (true convolution). For
+    `transpose=True` the weight is expected in torch conv_transpose layout
+    `[in, out//groups, kh, kw]`.
+    """
+    kh, kw = int(w.shape[-2]), int(w.shape[-1])
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    py, px = padding
+
+    if not flip_weight and (kw > 1 or kh > 1):
+        w = jnp.flip(w, axis=(-2, -1))
+
+    if not transpose:
+        return lax.conv_general_dilated(
+            x, w,
+            window_strides=stride,
+            padding=((py, py), (px, px)),
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            feature_group_count=groups,
+        )
+
+    # conv_transpose2d(x, w[I, O//g], stride=s, padding=p) ==
+    # correlation of the s-dilated input, padded by k-1-p, with the weight
+    # transposed to OIHW and spatially flipped.
+    in_ch, out_pg = int(w.shape[0]), int(w.shape[1])
+    w = w.reshape(groups, in_ch // groups, out_pg, kh, kw)
+    w = jnp.transpose(w, (0, 2, 1, 3, 4))
+    w = w.reshape(groups * out_pg, in_ch // groups, kh, kw)
+    w = jnp.flip(w, axis=(-2, -1))
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((kh - 1 - py, kh - 1 - py), (kw - 1 - px, kw - 1 - px)),
+        lhs_dilation=stride,
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        feature_group_count=groups,
+    )
+
+
+def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                    flip_weight=True, flip_filter=False):
+    """2D convolution with optional FIR-filtered up/downsampling.
+
+    Args (parity with reference conv2d_resample.py:46-75):
+      x: [N, C_in, H, W].
+      w: [C_out, C_in//groups, kh, kw].
+      f: low-pass FIR filter from setup_filter(), or None.
+      up/down: integer resampling factors.
+      padding: int / [x, y] / [x0, x1, y0, y1], w.r.t. the upsampled image.
+      groups: grouped conv count.
+      flip_weight: False = convolution, True = correlation.
+      flip_filter: same convention for the FIR filter.
+    """
+    assert x.ndim == 4 and w.ndim == 4
+    assert isinstance(up, int) and up >= 1
+    assert isinstance(down, int) and down >= 1
+    out_channels, in_channels_per_group, kh, kw = [int(s) for s in w.shape]
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Adjust padding to account for up/downsampling.
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # Fast path: 1x1 conv with downsampling only => downsample first.
+    if kw == 1 and kh == 1 and (down > 1 and up == 1):
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+
+    # Fast path: 1x1 conv with upsampling only => convolve first.
+    if kw == 1 and kh == 1 and (up > 1 and down == 1):
+        x = _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up ** 2,
+                         flip_filter=flip_filter)
+
+    # Fast path: downsampling only => strided convolution.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d_wrapper(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # Fast path: upsampling (optional downsampling) => transpose strided conv.
+    if up > 1:
+        if groups == 1:
+            wt = jnp.transpose(w, (1, 0, 2, 3))
+        else:
+            wt = w.reshape(groups, out_channels // groups, in_channels_per_group, kh, kw)
+            wt = jnp.transpose(wt, (0, 2, 1, 3, 4))
+            wt = wt.reshape(groups * in_channels_per_group, out_channels // groups, kh, kw)
+        px0 -= kw - 1
+        px1 -= kw - up
+        py0 -= kh - 1
+        py1 -= kh - up
+        pxt = max(min(-px0, -px1), 0)
+        pyt = max(min(-py0, -py1), 0)
+        x = _conv2d_wrapper(x, wt, stride=up, padding=(pyt, pxt), groups=groups,
+                            transpose=True, flip_weight=(not flip_weight))
+        x = upfirdn2d(x, f, padding=[px0 + pxt, px1 + pxt, py0 + pyt, py1 + pyt],
+                      gain=up ** 2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # Fast path: no resampling, symmetric non-negative padding => plain conv.
+    if up == 1 and down == 1:
+        if px0 == px1 and py0 == py1 and px0 >= 0 and py0 >= 0:
+            return _conv2d_wrapper(x, w, padding=(py0, px0), groups=groups,
+                                   flip_weight=flip_weight)
+
+    # Fallback: generic path.
+    x = upfirdn2d(x, (f if up > 1 else None), up=up, padding=[px0, px1, py0, py1],
+                  gain=up ** 2, flip_filter=flip_filter)
+    x = _conv2d_wrapper(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+    return x

@@ -1,0 +1,244 @@
+"""Pad -> upsample -> FIR filter -> downsample for batches of 2D images.
+
+Parity: reference models/stylegan3/torch_utils/ops/upfirdn2d.py (CUDA
+kernel + torch ref). TPU-native design: the whole pipeline is ONE
+`lax.conv_general_dilated` call — `lhs_dilation` performs the zero
+insertion, the conv padding performs pad/crop (negative allowed), the
+depthwise FIR filter is applied per channel, and `window_strides`
+performs the downsampling. XLA lowers this to a fused depthwise conv on
+TPU and derives the backward pass automatically (the reference needed a
+hand-chained backward-as-forward autograd pair, upfirdn2d.py:217-275).
+
+`impl='ref'` is a literal translation of the math for parity tests;
+`impl='xla'` (default) is the fused path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+
+def _parse_scaling(scaling):
+    if isinstance(scaling, int):
+        scaling = [scaling, scaling]
+    sx, sy = scaling
+    assert sx >= 1 and sy >= 1
+    return int(sx), int(sy)
+
+
+def _parse_padding(padding):
+    if isinstance(padding, int):
+        padding = [padding, padding]
+    padding = [int(p) for p in padding]
+    if len(padding) == 2:
+        padx, pady = padding
+        padding = [padx, padx, pady, pady]
+    padx0, padx1, pady0, pady1 = padding
+    return padx0, padx1, pady0, pady1
+
+
+def _get_filter_size(f):
+    if f is None:
+        return 1, 1
+    assert f.ndim in (1, 2)
+    fw = int(f.shape[-1])
+    fh = int(f.shape[0])
+    return fw, fh
+
+
+def setup_filter(f, normalize=True, flip_filter=False, gain=1, separable=None):
+    """Prepare a 2D FIR filter for upfirdn2d (normalize / flip / gain).
+
+    Returns a float32 jnp array: [fh, fw] (non-separable) or [taps]
+    (separable). Mirrors reference setup_filter (upfirdn2d.py:70-114).
+    """
+    if f is None:
+        f = 1
+    f = np.asarray(f, dtype=np.float32)
+    assert f.ndim in (0, 1, 2)
+    assert f.size > 0
+    if f.ndim == 0:
+        f = f[np.newaxis]
+
+    if separable is None:
+        separable = (f.ndim == 1 and f.size >= 8)
+    if f.ndim == 1 and not separable:
+        f = np.outer(f, f)
+    assert f.ndim == (1 if separable else 2)
+
+    if normalize:
+        f = f / f.sum()
+    if flip_filter:
+        f = f[::-1] if f.ndim == 1 else f[::-1, ::-1]
+    f = f * (gain ** (f.ndim / 2))
+    return jnp.asarray(f.copy(), dtype=jnp.float32)
+
+
+def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1, impl='xla'):
+    """Apply the upsample/pad/FIR/downsample pipeline to NCHW `x`.
+
+    Args match the reference op (upfirdn2d.py:118-162): `padding` is
+    [x0, x1, y0, y1] w.r.t. the upsampled image (negative = crop),
+    flip_filter False = convolution / True = correlation, `gain` scales
+    the output magnitude.
+    """
+    assert x.ndim == 4
+    if impl == 'ref':
+        return _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain)
+    return _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain)
+
+
+def _prep_filter(f, gain, flip_filter, dtype):
+    """Apply gain, flip convention. Returns (f, is_separable)."""
+    if f is None:
+        f = jnp.ones((1, 1), dtype=jnp.float32)
+    assert f.ndim in (1, 2)
+    f = f * (gain ** (f.ndim / 2))
+    # lax conv performs correlation; the op's default is convolution.
+    if not flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    return f.astype(dtype), f.ndim == 1
+
+
+def _depthwise_conv(x, ker_hw, channels, strides=(1, 1), padding=((0, 0), (0, 0)),
+                    lhs_dilation=(1, 1)):
+    """Per-channel 2D conv in NCHW with kernel [kh, kw] shared across channels."""
+    w = jnp.tile(ker_hw[None, None, :, :], (channels, 1, 1, 1))  # [C,1,kh,kw]
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        feature_group_count=channels,
+    )
+
+
+def _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain):
+    """Fused path: zero-insert + pad + FIR + stride in lax conv calls."""
+    batch, channels, in_h, in_w = x.shape
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    f, separable = _prep_filter(f, gain, flip_filter, x.dtype)
+
+    # lax lhs_dilation inserts zeros only *between* samples; the upfirdn
+    # definition also appends `up-1` trailing zeros, which is equivalent to
+    # extra high padding on the dilated input.
+    padx1 = padx1 + (upx - 1)
+    pady1 = pady1 + (upy - 1)
+
+    if not separable:
+        return _depthwise_conv(
+            x, f, channels,
+            strides=(downy, downx),
+            padding=((pady0, pady1), (padx0, padx1)),
+            lhs_dilation=(upy, upx),
+        )
+
+    # Separable: horizontal pass (up/pad/filter in x), then vertical pass.
+    # Splitting the strided downsample across the two passes keeps each
+    # pass's output minimal.
+    taps = f.shape[0]
+    fx = f.reshape(1, taps)
+    fy = f.reshape(taps, 1)
+    x = _depthwise_conv(
+        x, fx, channels,
+        strides=(1, downx),
+        padding=((0, 0), (padx0, padx1)),
+        lhs_dilation=(1, upx),
+    )
+    x = _depthwise_conv(
+        x, fy, channels,
+        strides=(downy, 1),
+        padding=((pady0, pady1), (0, 0)),
+        lhs_dilation=(upy, 1),
+    )
+    return x
+
+
+def _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain):
+    """Literal translation of the op definition (upfirdn2d.py:167-212)."""
+    batch, channels, in_h, in_w = x.shape
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+
+    up_w = in_w * upx + padx0 + padx1
+    up_h = in_h * upy + pady0 + pady1
+    fw, fh = _get_filter_size(f)
+    assert up_w >= fw and up_h >= fh
+
+    # Upsample by zero insertion.
+    x = x.reshape(batch, channels, in_h, 1, in_w, 1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1)))
+    x = x.reshape(batch, channels, in_h * upy, in_w * upx)
+
+    # Pad or crop.
+    x = jnp.pad(x, ((0, 0), (0, 0),
+                    (max(pady0, 0), max(pady1, 0)),
+                    (max(padx0, 0), max(padx1, 0))))
+    x = x[:, :,
+          max(-pady0, 0): x.shape[2] - max(-pady1, 0),
+          max(-padx0, 0): x.shape[3] - max(-padx1, 0)]
+
+    f, separable = _prep_filter(f, gain, flip_filter, x.dtype)
+    if separable:
+        taps = f.shape[0]
+        x = _depthwise_conv(x, f.reshape(1, taps), channels)
+        x = _depthwise_conv(x, f.reshape(taps, 1), channels)
+    else:
+        x = _depthwise_conv(x, f, channels)
+
+    # Downsample by throwing away pixels.
+    x = x[:, :, ::downy, ::downx]
+    return x
+
+
+# ----------------------------------------------------------------------------
+# Convenience wrappers (parity: upfirdn2d.py:277-388).
+
+def filter2d(x, f, padding=0, flip_filter=False, gain=1, impl='xla'):
+    """FIR-filter images; output padded to match input shape by default."""
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [
+        padx0 + fw // 2,
+        padx1 + (fw - 1) // 2,
+        pady0 + fh // 2,
+        pady1 + (fh - 1) // 2,
+    ]
+    return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain, impl=impl)
+
+
+def upsample2d(x, f, up=2, padding=0, flip_filter=False, gain=1, impl='xla'):
+    """Upsample images by `up` with FIR smoothing (output gain up^2)."""
+    upx, upy = _parse_scaling(up)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [
+        padx0 + (fw + upx - 1) // 2,
+        padx1 + (fw - upx) // 2,
+        pady0 + (fh + upy - 1) // 2,
+        pady1 + (fh - upy) // 2,
+    ]
+    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter,
+                     gain=gain * upx * upy, impl=impl)
+
+
+def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1, impl='xla'):
+    """Downsample images by `down` with FIR anti-aliasing."""
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [
+        padx0 + (fw - downx + 1) // 2,
+        padx1 + (fw - downx) // 2,
+        pady0 + (fh - downy + 1) // 2,
+        pady1 + (fh - downy) // 2,
+    ]
+    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter,
+                     gain=gain, impl=impl)

@@ -1,0 +1,197 @@
+"""Parity tests: JAX ops vs torch oracles and internal ref-vs-fast impls."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from latentaugment_tpu.ops import (
+    bias_act, conv2d_resample, filter2d, downsample2d, setup_filter,
+    upfirdn2d, upsample2d, modulated_conv2d,
+)
+from latentaugment_tpu.ops.conv2d_resample import _conv2d_wrapper
+
+from reference_oracles import (
+    bias_act_torch, conv2d_torch, to_np, upfirdn2d_torch,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def rand(*shape):
+    return RNG.randn(*shape).astype(np.float32)
+
+
+# ----------------------------------------------------------------------------
+# upfirdn2d
+
+UPFIRDN_CASES = [
+    dict(up=1, down=1, padding=0, f=[1, 3, 3, 1]),
+    dict(up=2, down=1, padding=(2, 1, 2, 1), f=[1, 3, 3, 1]),
+    dict(up=1, down=2, padding=(1, 1, 1, 1), f=[1, 3, 3, 1]),
+    dict(up=2, down=2, padding=(2, 2, 2, 2), f=[1, 3, 3, 1]),
+    dict(up=1, down=1, padding=(-1, 2, 0, 1), f=[1, 2, 1]),
+    dict(up=1, down=1, padding=3, f=None),
+    dict(up=4, down=1, padding=(3, 3, 3, 3), f=[1, 3, 3, 1]),
+]
+
+
+@pytest.mark.parametrize("case", UPFIRDN_CASES)
+@pytest.mark.parametrize("flip_filter", [False, True])
+@pytest.mark.parametrize("impl", ["ref", "xla"])
+def test_upfirdn2d_vs_torch(case, flip_filter, impl):
+    x = rand(2, 3, 8, 8)
+    f_np = case["f"]
+    f_j = setup_filter(f_np, separable=False) if f_np is not None else None
+    f_t = (torch.from_numpy(np.asarray(to_np(torch.tensor(f_np, dtype=torch.float32))))
+           if f_np is not None else None)
+    if f_t is not None:
+        f_t2 = torch.outer(f_t, f_t) if f_t.ndim == 1 else f_t
+        f_t2 = f_t2 / f_t2.sum()
+    else:
+        f_t2 = None
+
+    out_j = upfirdn2d(jnp.asarray(x), f_j, up=case["up"], down=case["down"],
+                      padding=case["padding"], flip_filter=flip_filter, gain=2.0,
+                      impl=impl)
+    out_t = upfirdn2d_torch(torch.from_numpy(x), f_t2, up=case["up"],
+                            down=case["down"], padding=case["padding"],
+                            flip_filter=flip_filter, gain=2.0)
+    np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), rtol=1e-4, atol=1e-5)
+
+
+def test_upfirdn2d_separable_matches_2d():
+    x = jnp.asarray(rand(1, 2, 16, 16))
+    f_sep = setup_filter([1, 3, 3, 1], separable=True)
+    f_2d = setup_filter([1, 3, 3, 1], separable=False)
+    a = upfirdn2d(x, f_sep, up=2, padding=(2, 1, 2, 1), gain=4)
+    b = upfirdn2d(x, f_2d, up=2, padding=(2, 1, 2, 1), gain=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_downsample_shapes():
+    x = jnp.asarray(rand(2, 1, 16, 16))
+    f = setup_filter([1, 3, 3, 1])
+    up = upsample2d(x, f, up=2)
+    assert up.shape == (2, 1, 32, 32)
+    down = downsample2d(up, f, down=2)
+    assert down.shape == (2, 1, 16, 16)
+    filt = filter2d(x, f)
+    assert filt.shape == x.shape
+    # DC preservation: constant image stays (approximately) constant inside.
+    const = jnp.ones((1, 1, 16, 16))
+    up_c = upsample2d(const, f, up=2)
+    np.testing.assert_allclose(np.asarray(up_c[0, 0, 8:24, 8:24]), 1.0, atol=1e-5)
+
+
+# ----------------------------------------------------------------------------
+# bias_act
+
+@pytest.mark.parametrize("act", ["linear", "relu", "lrelu", "tanh", "sigmoid",
+                                 "elu", "selu", "softplus", "swish"])
+def test_bias_act_vs_torch(act):
+    x = rand(4, 8, 5, 5)
+    b = rand(8)
+    from latentaugment_tpu.ops.bias_act import activation_funcs
+    spec = activation_funcs[act]
+    out_j = bias_act(jnp.asarray(x), jnp.asarray(b), act=act, clamp=0.5)
+    out_t = bias_act_torch(torch.from_numpy(x), torch.from_numpy(b), act=act,
+                           alpha=float(spec.def_alpha), gain=float(spec.def_gain),
+                           clamp=0.5)
+    np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), rtol=1e-4, atol=1e-5)
+
+
+def test_bias_act_fused_matches_ref():
+    x = rand(3, 16, 8, 8)
+    b = rand(16)
+    ref = bias_act(jnp.asarray(x), jnp.asarray(b), act="lrelu", gain=np.sqrt(2), clamp=256)
+    fused = bias_act(jnp.asarray(x), jnp.asarray(b), act="lrelu", gain=np.sqrt(2),
+                     clamp=256, impl="fused")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------------------
+# conv2d wrapper + conv2d_resample
+
+@pytest.mark.parametrize("transpose", [False, True])
+@pytest.mark.parametrize("flip_weight", [False, True])
+@pytest.mark.parametrize("groups", [1, 2])
+def test_conv2d_wrapper_vs_torch(transpose, flip_weight, groups):
+    x = rand(2, 4, 9, 9)
+    if transpose:
+        w = rand(4, 6 // groups, 3, 3)  # [I, O//g, kh, kw]
+    else:
+        w = rand(6, 4 // groups, 3, 3)  # [O, I//g, kh, kw]
+    out_j = _conv2d_wrapper(jnp.asarray(x), jnp.asarray(w), stride=2, padding=1,
+                            groups=groups, transpose=transpose, flip_weight=flip_weight)
+    out_t = conv2d_torch(torch.from_numpy(x), torch.from_numpy(w), stride=2,
+                         padding=1, groups=groups, transpose=transpose,
+                         flip_weight=flip_weight)
+    np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("up,down,kh", [(1, 1, 3), (2, 1, 3), (1, 2, 3),
+                                        (2, 1, 1), (1, 2, 1), (1, 1, 1)])
+def test_conv2d_resample_against_composition(up, down, kh):
+    """conv2d_resample must equal the unfused upfirdn+conv composition."""
+    x = rand(2, 4, 8, 8)
+    w = rand(5, 4, kh, kh)
+    f = setup_filter([1, 3, 3, 1], separable=False)
+    padding = kh // 2
+
+    got = conv2d_resample(jnp.asarray(x), jnp.asarray(w), f=f, up=up, down=down,
+                          padding=padding, flip_weight=(up == 1))
+
+    # Torch composition: upsample -> conv -> downsample with identical algebra.
+    fw = fh = 4
+    px0 = px1 = py0 = py1 = padding
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+    f_t = torch.outer(torch.tensor([1., 3., 3., 1.]), torch.tensor([1., 3., 3., 1.]))
+    f_t = f_t / f_t.sum()
+    xt = torch.from_numpy(x)
+    xt = upfirdn2d_torch(xt, f_t if up > 1 else None, up=up,
+                         padding=(px0, px1, py0, py1), gain=up ** 2)
+    xt = conv2d_torch(xt, torch.from_numpy(w), flip_weight=(up == 1))
+    if down > 1:
+        xt = upfirdn2d_torch(xt, f_t, down=down)
+    np.testing.assert_allclose(np.asarray(got), to_np(xt), rtol=1e-3, atol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# modulated conv
+
+@pytest.mark.parametrize("demodulate", [True, False])
+@pytest.mark.parametrize("up", [1, 2])
+def test_modulated_conv_fused_vs_unfused(demodulate, up):
+    x = jnp.asarray(rand(3, 8, 8, 8))
+    w = jnp.asarray(rand(16, 8, 3, 3))
+    s = jnp.asarray(rand(3, 8))
+    f = setup_filter([1, 3, 3, 1], separable=False) if up > 1 else None
+    a = modulated_conv2d(x, w, s, up=up, padding=1, resample_filter=f,
+                         demodulate=demodulate, flip_weight=(up == 1),
+                         fused_modconv=False)
+    b = modulated_conv2d(x, w, s, up=up, padding=1, resample_filter=f,
+                         demodulate=demodulate, flip_weight=(up == 1),
+                         fused_modconv=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_modulated_conv_demod_unit_norm():
+    """With unit styles and demod, each output channel has ~unit gain."""
+    x = jnp.asarray(rand(2, 4, 16, 16))
+    w = jnp.asarray(rand(8, 4, 3, 3))
+    s = jnp.ones((2, 4))
+    out = modulated_conv2d(x, w, s, padding=1, demodulate=True)
+    # std of output should be close to std of input (demod normalizes).
+    ratio = float(jnp.std(out) / jnp.std(x))
+    assert 0.5 < ratio < 2.0
