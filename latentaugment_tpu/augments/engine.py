@@ -1,0 +1,452 @@
+"""LatentAug optimization engine — the jitted multi-objective latent walk.
+
+Parity: reference augments/utils/util_latent_aug.py:70-660 (`LatentAug`
+nn.Module). The K-epoch Python loop of Adam steps (util_latent_aug.py:
+220-310) becomes ONE compiled program: `lax.scan` over K hand-rolled
+Adam updates on w [B,1,w_dim], differentiating through G.synthesis, D,
+and the LPIPS VGG w.r.t. w only. All four criteria are evaluated in a
+single fused forward; one backward per step. No host sync inside the
+loop — per-step loss traces come back as scan outputs.
+
+TPU-native design decisions:
+  * Manifold losses use the exact mean-form reduction (losses.py):
+    the W/X/feature manifolds enter only via their mean vector + mean
+    squared norm, so step cost is independent of manifold size.
+  * Data parallelism: pass a `jax.sharding.Mesh`; the batch dim of w0
+    is sharded over it and GSPMD inserts the psums for the batch-mean
+    losses — replacing torch.nn.DataParallel scatter/gather
+    (util_latent_aug.py:20-33) with compiler-placed ICI collectives.
+  * Synthetic LPIPS features are computed on [0,255]-scaled images to
+    match how the manifold features are extracted (the reference feeds
+    its manifold extractor raw [0,255] crops but the synthetic branch
+    [-1,1] images — we keep both sides consistent instead).
+
+`define_latentaugment(opt, save_dir, mesh=None)` mirrors the reference
+factory (util_latent_aug.py:45-64).
+"""
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import vgg
+from ..models.stylegan2 import convert, networks
+from ..utils import util_general, util_path
+from ..utils.util_easydict import EasyDict
+from . import losses, manifold
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
+class LatentAugEngine:
+    """Holds G/D/VGG params + manifold summaries + compiled step functions."""
+
+    def __init__(self, phase, opt, save_dir, mesh=None):
+        self.save_dir = save_dir
+        self.model_dir = opt.model_dir
+        self.interim_dir = opt.interim_dir
+        self.phase = phase
+        self.mesh = mesh
+
+        self.dataset = opt.dataset_aug
+        self.dataset_name = opt.dataset_name_aug
+        self.modalities = util_general.parse_comma_separated_list(opt.modalities_aug)
+        self.res = opt.img_resolution
+        self.batch_size = opt.batch_size
+
+        self.exp_stylegan = opt.exp_stylegan
+        self.network_pkl_stylegan = opt.network_pkl_stylegan
+        self.dataset_w_name = opt.dataset_w_name
+        self.exp_inv = opt.exp_inv
+
+        self.num_epochs = opt.opt_num_epochs
+        self.opt_lr = opt.opt_lr
+        self.lpips_script = getattr(opt, "lpips_script", "lpips_script")
+        self.truncation_psi = opt.truncation_psi
+
+        self.w_pix = opt.w_pix
+        self.w_lpips = opt.w_lpips
+        self.w_latent = opt.w_latent
+        self.w_disc = opt.w_disc
+
+        self.crop_size = opt.crop_size_aug
+        self.preprocess = opt.preprocess_aug
+        self.soft_aug = opt.soft_aug
+        self.alpha = opt.alpha
+        self.verbose_log = opt.verbose_log
+
+        # Load Generator and Discriminator.
+        self.G_params, self.G_cfg, self.D_params, self.D_cfg = self.load_stylegan()
+        self.z_dim = self.G_cfg.z_dim
+        self.w_dim = self.G_cfg.w_dim
+        self.num_ws = self.G_cfg.num_ws
+
+        # LPIPS feature network (converted weights when cached; see vgg.py).
+        self.vgg_params = None
+        if self.w_lpips > 0.0:
+            self.vgg_params = vgg.get_vgg16(path=self._vgg_ckpt_path())
+
+        self.stats_loss = EasyDict()
+        self.stats_time = EasyDict()
+
+        cache_dir = os.path.join(self.interim_dir, self.dataset, "cache_dir")
+
+        # Inverted-latent dataset (always needed: w lookup by the policy).
+        self.stats_dataset_w = manifold.LatentCodeDataset(
+            path=os.path.join(self.interim_dir, self.dataset,
+                              self.dataset_w_name + ".zip"),
+            split=self.phase, w_dim=self.w_dim, num_ws=self.num_ws)
+
+        # Manifold summaries (mean vector + mean squared norm per manifold).
+        self.W_summary = None
+        self.X = None
+        self.X_cc_summaries = None
+        self.fea_summaries = None
+
+        if self.w_latent > 0.0:
+            stats = self.compute_stats(self.stats_dataset_w, "latent", cache_dir,
+                                       step=opt.step_w)
+            self.W = stats.get_all_jnp()
+            self.W_summary = losses.manifold_summary(self.W)
+
+        img_dataset = None
+        if self.w_pix > 0.0 or self.w_lpips > 0.0:
+            img_dataset = manifold.ImgDataset(
+                path=os.path.join(self.interim_dir, self.dataset,
+                                  self.dataset_name + ".zip"),
+                modalities=self.modalities, split=self.phase, resolution=self.res)
+
+        if self.w_pix > 0.0:
+            stats = self.compute_stats(img_dataset, "img", cache_dir,
+                                       step=opt.step_img)
+            self.X = stats.get_all_jnp()  # [M, modes, res, res] in [-1, 1]
+            x_cc = manifold.center_crop(self.X, self.res)
+            self.X_cc_summaries = [
+                losses.manifold_summary(x_cc[:, m:m + 1])
+                for m in range(len(self.modalities))
+            ]
+
+        if self.w_lpips > 0.0:
+            self.fea_summaries = []
+            for mode_id, mode in enumerate(self.modalities):
+                stats = self.compute_stats(
+                    img_dataset, "features_jit", cache_dir,
+                    cache_tag=f"{mode}-{opt.crop_size_aug}", step=opt.step_img,
+                    mode_id=mode_id)
+                fea = stats.get_all_jnp()  # [M, D]
+                self.fea_summaries.append(losses.manifold_summary(fea))
+
+        self._build_compiled_fns()
+
+    # ------------------------------------------------------------------
+    # Checkpoint / path plumbing
+
+    def _vgg_ckpt_path(self):
+        path = os.environ.get("LATENTAUGMENT_VGG16")
+        if path:
+            return path
+        default = os.path.join(self.model_dir, "vgg16_lpips.pkl") if self.model_dir else None
+        return default if default and os.path.isfile(default) else None
+
+    def load_stylegan(self):
+        """Resolve the checkpoint path exactly like the reference
+        (util_latent_aug.py:466-484) and ingest it safely (convert.py)."""
+        dir_model = os.path.join(
+            self.model_dir, self.dataset, "training-runs", self.dataset_name,
+            util_general.parse_separated_list_comma(self.modalities))
+        if os.path.isdir(dir_model):
+            exp_name = [x for x in os.listdir(dir_model) if self.exp_stylegan in x]
+            assert len(exp_name) == 1, f"ambiguous experiment under {dir_model}"
+            path = os.path.join(dir_model, exp_name[0], self.network_pkl_stylegan)
+        else:
+            # Allow pointing model_dir directly at a checkpoint file.
+            path = (self.model_dir if os.path.isfile(self.model_dir)
+                    else os.path.join(self.model_dir, self.network_pkl_stylegan))
+        print(f'Loading stylegan from "{path}"...')
+        g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(
+            path, img_resolution=self.res, img_channels=len(self.modalities))
+        print("Done.")
+        g_params = jax.tree_util.tree_map(jnp.asarray, g_params)
+        if d_params is not None:
+            d_params = jax.tree_util.tree_map(jnp.asarray, d_params)
+        return g_params, g_cfg, d_params, d_cfg
+
+    # ------------------------------------------------------------------
+    # Compiled functions
+
+    def _build_compiled_fns(self):
+        g_syn = self.G_params["synthesis"]
+        g_map = self.G_params["mapping"]
+        g_cfg = self.G_cfg
+        d_params, d_cfg = self.D_params, self.D_cfg
+        vgg_params = self.vgg_params
+        modalities = list(range(len(self.modalities)))
+        w_pix, w_lpips = float(self.w_pix), float(self.w_lpips)
+        w_latent, w_disc = float(self.w_latent), float(self.w_disc)
+        crop_size = self.crop_size
+        preprocess = self.preprocess
+        res = self.res
+        num_ws = self.num_ws
+        W_summary = self.W_summary
+        X_cc = self.X_cc_summaries
+        fea_sum = self.fea_summaries
+        n_modes = len(self.modalities)
+
+        def broadcast(w):
+            return jnp.repeat(w, num_ws, axis=1)
+
+        def loss_fn(w, crop_pos):
+            ws = broadcast(w)
+            x = networks.synthesis_apply(g_syn, g_cfg, ws, noise_mode="const")
+
+            aux = {}
+            loss_latent = 0.0
+            if w_latent > 0.0:
+                loss_latent = w_latent * losses.l2_mean_loss(
+                    ws, W_summary[0], W_summary[1])
+                aux["loss_latent"] = loss_latent
+
+            loss_disc = 0.0
+            if w_disc > 0.0:
+                logits = networks.discriminator_apply(d_params, d_cfg, x)
+                loss_disc = w_disc * losses.disc_softplus_loss(logits)
+                aux["loss_disc"] = loss_disc
+
+            loss_pix = 0.0
+            if w_pix > 0.0:
+                x_cc = manifold.center_crop(x, res)
+                acc = 0.0
+                for m in modalities:
+                    acc += w_pix * losses.l2_mean_loss(
+                        x_cc[:, m:m + 1], X_cc[m][0], X_cc[m][1])
+                loss_pix = acc / n_modes
+                aux["loss_pix"] = loss_pix
+
+            loss_lpips = 0.0
+            if w_lpips > 0.0:
+                transform = manifold.get_transform(res, crop_size, preprocess)
+                x_crop = transform(x, crop_pos)
+                acc = 0.0
+                for m in modalities:
+                    xm = jnp.repeat((x_crop[:, m:m + 1] + 1.0) * 127.5, 3, axis=1)
+                    feats = vgg.lpips_features(vgg_params, xm)
+                    acc += w_lpips * losses.l2_mean_loss(
+                        feats, fea_sum[m][0], fea_sum[m][1], normalize=False)
+                loss_lpips = acc / n_modes
+                aux["loss_lpips"] = loss_lpips
+
+            total = -loss_latent - loss_pix - loss_lpips + loss_disc
+            aux["loss"] = total
+            return total, aux
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        num_epochs = self.num_epochs
+        lr = self.opt_lr
+        soft_aug = bool(self.soft_aug)
+        alpha = float(self.alpha)
+
+        def walk(w0, crop_pos, synth_key):
+            """K Adam steps on w; returns (imgAB_aug, w_aug, loss_traces)."""
+            def step(carry, t):
+                w, m, v = carry
+                g, aux = grad_fn(w, crop_pos)
+                m = ADAM_B1 * m + (1 - ADAM_B1) * g
+                v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
+                m_hat = m / (1 - ADAM_B1 ** (t + 1))
+                v_hat = v / (1 - ADAM_B2 ** (t + 1))
+                w = w - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+                return (w, m, v), aux
+
+            init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
+            (w_opt, _, _), traces = jax.lax.scan(
+                step, init, jnp.arange(num_epochs, dtype=jnp.float32))
+
+            if soft_aug:
+                w_aug = alpha * w_opt + (1.0 - alpha) * w0
+            else:
+                w_aug = w_opt
+            ws_aug = broadcast(w_aug)
+            img_aug = networks.synthesis_apply(g_syn, g_cfg, ws_aug,
+                                               noise_mode="random", rng=synth_key)
+            return img_aug, ws_aug, traces
+
+        def ganrand(z, synth_key):
+            """Random GAN augmentation: z -> mapping -> synthesis."""
+            ws = networks.mapping_apply(g_map, g_cfg, z,
+                                        truncation_psi=self.truncation_psi)
+            img = networks.synthesis_apply(g_syn, g_cfg, ws,
+                                           noise_mode="random", rng=synth_key)
+            return img, ws
+
+        def z_to_w(z):
+            ws = networks.mapping_apply(g_map, g_cfg, z,
+                                        truncation_psi=self.truncation_psi)
+            return ws[:, :1, :]
+
+        def synthesize(ws, synth_key):
+            return networks.synthesis_apply(g_syn, g_cfg, ws,
+                                            noise_mode="random", rng=synth_key)
+
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            batch_sharding = pmesh.batch_sharding(self.mesh)
+            repl = pmesh.replicated(self.mesh)
+            self._walk = jax.jit(
+                walk,
+                in_shardings=(batch_sharding, repl, repl),
+                out_shardings=(batch_sharding, batch_sharding, repl))
+            self._ganrand = jax.jit(
+                ganrand, in_shardings=(batch_sharding, repl),
+                out_shardings=(batch_sharding, batch_sharding))
+        else:
+            self._walk = jax.jit(walk)
+            self._ganrand = jax.jit(ganrand)
+        self._z_to_w = jax.jit(z_to_w)
+        self._synthesize = jax.jit(synthesize)
+        self._loss_fn = jax.jit(loss_fn)
+
+    # ------------------------------------------------------------------
+    # Public forward API (parity: LatentAug.forward / forward_ganrand)
+
+    def forward(self, w, fname=None, key=None):
+        """w [B, 1, w_dim] (or z [B, z_dim]) -> (imgAB_aug, ws_aug [B,num_ws,w_dim])."""
+        key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+        k_crop, k_synth = jax.random.split(key)
+        w = jnp.asarray(w)
+        if w.ndim == 2:
+            w = self._z_to_w(w)
+
+        params = manifold.get_params(self.res, self.crop_size, self.preprocess)
+        crop_pos = jnp.asarray(params["crop_pos"], dtype=jnp.int32)
+
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+            w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
+
+        tick = time.time()
+        img_aug, ws_aug, traces = self._walk(w, crop_pos, k_synth)
+        if self.verbose_log:
+            img_aug.block_until_ready()
+            self._record_traces(traces, time.time() - tick)
+        return img_aug, ws_aug
+
+    def forward_ganrand(self, z, key=None):
+        key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+        z = jnp.asarray(z)
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+            z = jax.device_put(z, pmesh.batch_sharding(self.mesh))
+        return self._ganrand(z, key)
+
+    def synthetize(self, ws, key=None):
+        assert ws.shape[1:] == (self.num_ws, self.w_dim)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self._synthesize(jnp.asarray(ws), key)
+
+    def broadcasting(self, latent):
+        return jnp.repeat(latent, self.num_ws, axis=1)
+
+    @staticmethod
+    def reverse_broadcasting(latent):
+        return latent[:, :1, :]
+
+    def _record_traces(self, traces, wall):
+        """Store per-epoch loss curves (parity: stats_loss jsonl/PNG dumps)."""
+        traces = jax.tree_util.tree_map(np.asarray, traces)
+        for epoch in range(self.num_epochs):
+            ed = EasyDict()
+            for name, vals in traces.items():
+                ed[name] = float(vals[epoch])
+            self.stats_loss[f"epoch_{epoch}"] = ed
+        self.stats_time["last_forward_s"] = wall
+
+    def snapshot_stats(self, title="losses"):
+        """Dump loss curves to jsonl (+PNG when matplotlib works)."""
+        import json
+
+        path = os.path.join(self.save_dir, f"{title}.jsonl")
+        with open(path, "w") as f:
+            f.write(json.dumps(self.stats_loss, indent=2) + "\n")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            ticks = list(self.stats_loss.values())
+            if ticks:
+                for kk in ticks[0]:
+                    fig = plt.figure()
+                    plt.plot([t[kk] for t in ticks], label=kk)
+                    plt.xlabel("epochs")
+                    plt.ylabel(title)
+                    plt.legend()
+                    fig.savefig(os.path.join(self.save_dir, f"{title}_{kk}.png"),
+                                dpi=150, format="png")
+                    plt.close(fig)
+        except ImportError:
+            pass
+
+    # ------------------------------------------------------------------
+    # Manifold stat building (parity: compute_stats util_latent_aug.py:503-563)
+
+    def compute_stats(self, dataset, manifold_name, cache_dir, cache_tag="",
+                      step=10, max_items=100000, mode_id=None):
+        num_items = min(len(dataset), max_items) if max_items else len(dataset)
+        util_path.create_dir(cache_dir)
+        if cache_tag != "":
+            cache_tag += "-"
+        cache_tag += f"{manifold_name}-step_{step}-maxitems_{num_items}"
+        cache_file = os.path.join(cache_dir, cache_tag + ".pkl")
+
+        if os.path.isfile(cache_file):
+            print(f"{manifold_name} dataset already created in {cache_file}.")
+            return manifold.DatasetStats.load(cache_file)
+
+        print(f"{manifold_name} dataset initialization.")
+        stats = manifold.DatasetStats(manifold=manifold_name, max_items=num_items,
+                                      step=step)
+        for idx in range(len(dataset)):
+            x, fname = dataset[idx]
+            if manifold_name == "img":
+                item = x[None] / 127.5 - 1.0  # [-1, 1], as synthetic images
+            elif manifold_name == "latent":
+                item = x[None]
+            elif manifold_name == "features_jit":
+                item = np.asarray(self._extract_features(x, mode_id))
+            else:
+                raise NotImplementedError(manifold_name)
+            if stats.append(item, fname) < 0:
+                break
+        stats.save(cache_file)
+        return stats
+
+    def _extract_features(self, img, mode_id):
+        """LPIPS embedding of one [modes, H, W] raw [0,255] image crop."""
+        x = np.asarray(img, dtype=np.float32)[mode_id][None, None]  # [1,1,H,W]
+        params = manifold.get_params(self.res, self.crop_size, self.preprocess)
+        transform = manifold.get_transform(self.res, self.crop_size,
+                                           self.preprocess, params)
+        x = transform(jnp.asarray(x))
+        x = jnp.repeat(x, 3, axis=1)
+        return self._lpips_feat_jit(x)
+
+    @functools.cached_property
+    def _lpips_feat_jit(self):
+        return jax.jit(lambda x: vgg.lpips_features(self.vgg_params, x))
+
+
+def define_latentaugment(module_name, phase, opt, save_dir, gpu_ids=None,
+                         mesh=None):
+    """Factory (parity: util_latent_aug.py:45-64). gpu_ids kept for CLI
+    compatibility; device placement is the mesh's concern on TPU."""
+    if module_name == "latent_aug":
+        return LatentAugEngine(phase, opt, save_dir, mesh=mesh)
+    raise NotImplementedError(f"Module name [{module_name}] is not recognized")

@@ -1,0 +1,210 @@
+"""VGG16 / VGG19 feature extractors in functional JAX.
+
+Replaces three torch pieces of the reference:
+  * the NVIDIA TorchScript `vgg16.pt` LPIPS detector downloaded by URL
+    (augments/utils/util_latent_aug.py:35-43, used with
+    `return_lpips=True` at util_latent_aug.py:387-409),
+  * the torchvision VGG16 backbone of the local LPIPS criterion
+    (augments/criteria/lpips/networks.py:52-63),
+  * the torchvision VGG19 backbone of the NST criterion
+    (augments/criteria/nst/networks.py:6-70).
+
+Weights: this environment has no egress, so weights load from a local
+converted checkpoint when available (`load_params(path)` accepts a
+pickle of numpy arrays; `convert_torchscript` turns a cached NVIDIA
+vgg16.pt into one) and otherwise fall back to a deterministic
+He-initialized network — self-consistent features that keep every
+pipeline runnable and testable; distances remain meaningful because
+both manifold and synthetic features use the same network.
+
+LPIPS embedding: `lpips_features` returns, per image, the concatenation
+over tap layers of unit-channel-normalized activations scaled by
+sqrt(lin_weight / (H*W)) — so a plain squared-L2 distance between two
+embeddings equals the LPIPS distance. This is the property the
+reference relies on when it computes pairwise feature L2 via einsum
+(util_latent_aug.py:387-409).
+"""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# VGG16 conv plan: (name, out_channels); 'M' = 2x2 max pool.
+VGG16_PLAN = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), "M",
+]
+
+VGG19_PLAN = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("conv3_4", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("conv4_4", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512), "M",
+]
+
+# LPIPS tap layers for VGG16 (richzhang convention).
+LPIPS_TAPS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
+LPIPS_CHANNELS = {"conv1_2": 64, "conv2_2": 128, "conv3_3": 256,
+                  "conv4_3": 512, "conv5_3": 512}
+
+# Input pre-scaling of the LPIPS VGG (applied to [0,255] RGB):
+# [0,255] -> [-1,1] -> richzhang shift/scale normalization.
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+
+def init_vgg(key, plan=VGG16_PLAN, in_channels=3, lpips_lin=True):
+    """He-initialized VGG params: {'convX_Y': {'weight','bias'}, 'lin': {...}}."""
+    params = {}
+    c_in = in_channels
+    for item in plan:
+        if item == "M":
+            continue
+        name, c_out = item
+        key, sub = jax.random.split(key)
+        fan_in = c_in * 9
+        params[name] = {
+            "weight": (jax.random.normal(sub, (c_out, c_in, 3, 3), jnp.float32)
+                       * np.sqrt(2.0 / fan_in)),
+            "bias": jnp.zeros((c_out,), jnp.float32),
+        }
+        c_in = c_out
+    if lpips_lin and plan is VGG16_PLAN:
+        params["lin"] = {
+            tap: jnp.ones((LPIPS_CHANNELS[tap],), jnp.float32)
+            for tap in LPIPS_TAPS
+        }
+    return params
+
+
+def _conv3x3(x, p):
+    out = lax.conv_general_dilated(
+        x, p["weight"].astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out + p["bias"].astype(x.dtype)[None, :, None, None]
+
+
+def _maxpool2(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 2), (1, 1, 2, 2),
+                             "VALID")
+
+
+def vgg_features(params, x, plan=VGG16_PLAN, taps=None, input_range="0_255"):
+    """Run the VGG trunk; return {tap_name: activation} for requested taps.
+
+    x: [N, 3, H, W]. input_range '0_255' applies the LPIPS pre-scaling;
+    'unit' assumes already-normalized inputs.
+    """
+    taps = list(taps) if taps is not None else [LPIPS_TAPS[-1]]
+    want = set(taps)
+    if input_range == "0_255":
+        x = x / 127.5 - 1.0
+        x = (x - jnp.asarray(_LPIPS_SHIFT, x.dtype)[None, :, None, None]) \
+            / jnp.asarray(_LPIPS_SCALE, x.dtype)[None, :, None, None]
+    out = {}
+    for item in plan:
+        if item == "M":
+            x = _maxpool2(x)
+            continue
+        name, _ = item
+        x = jax.nn.relu(_conv3x3(x, params[name]))
+        if name in want:
+            out[name] = x
+            if len(out) == len(want):
+                break
+    return out
+
+
+def lpips_features(params, x, input_range="0_255"):
+    """Per-image LPIPS embedding vector (see module docstring). [N, D]."""
+    acts = vgg_features(params, x, plan=VGG16_PLAN, taps=LPIPS_TAPS,
+                        input_range=input_range)
+    feats = []
+    n = x.shape[0]
+    for tap in LPIPS_TAPS:
+        a = acts[tap].astype(jnp.float32)
+        # Unit-normalize channel vectors at each pixel.
+        a = a * lax.rsqrt(jnp.sum(jnp.square(a), axis=1, keepdims=True) + 1e-10)
+        h, w = a.shape[2], a.shape[3]
+        lin = params.get("lin", {}).get(tap)
+        if lin is not None:
+            a = a * jnp.sqrt(jnp.maximum(lin, 0.0))[None, :, None, None]
+        a = a / np.sqrt(h * w)
+        feats.append(a.reshape(n, -1))
+    return jnp.concatenate(feats, axis=1)
+
+
+def lpips_distance(params, x, y, input_range="0_255"):
+    """LPIPS distance via the embedding property: ||f(x) - f(y)||^2."""
+    fx = lpips_features(params, x, input_range)
+    fy = lpips_features(params, y, input_range)
+    return jnp.sum(jnp.square(fx - fy), axis=1)
+
+
+# ----------------------------------------------------------------------------
+# Weight IO
+
+def load_params(path):
+    """Load a converted VGG checkpoint (pickle of {name: {'weight','bias'}})."""
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    return jax.tree_util.tree_map(jnp.asarray, obj)
+
+
+def save_params(params, path):
+    obj = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
+
+
+def convert_torchscript(ts_path, out_path=None):
+    """Convert a cached NVIDIA vgg16.pt TorchScript file to our format.
+
+    Maps the script module's conv weights (in definition order) onto
+    VGG16_PLAN names and its LPIPS linear weights onto 'lin'. Requires
+    torch; works offline from the URL cache.
+    """
+    import torch
+
+    mod = torch.jit.load(ts_path, map_location="cpu")
+    state = dict(mod.state_dict())
+    convs = [(k, v) for k, v in state.items()
+             if k.endswith("weight") and v.ndim == 4 and v.shape[-1] == 3]
+    lins = [(k, v) for k, v in state.items()
+            if v.ndim in (2, 4) and (v.shape[-1] == 1 if v.ndim == 4 else True)
+            and "lin" in k.lower()]
+    params = {}
+    plan_names = [it[0] for it in VGG16_PLAN if it != "M"]
+    for (k, w), name in zip(convs, plan_names):
+        bias_key = k[:-len("weight")] + "bias"
+        params[name] = {
+            "weight": np.asarray(w.detach().numpy(), np.float32),
+            "bias": np.asarray(state[bias_key].detach().numpy(), np.float32),
+        }
+    if lins:
+        lin = {}
+        for (k, v), tap in zip(lins, LPIPS_TAPS):
+            lin[tap] = np.abs(np.asarray(v.detach().numpy(), np.float32)).reshape(-1)
+        params["lin"] = lin
+    if out_path:
+        with open(out_path, "wb") as f:
+            pickle.dump(params, f, pickle.HIGHEST_PROTOCOL)
+    return params
+
+
+def get_vgg16(path=None, seed=0):
+    """The framework's standard LPIPS VGG16: converted weights if available,
+    deterministic random init otherwise (self-consistent fallback)."""
+    if path is not None:
+        try:
+            return load_params(path)
+        except (OSError, pickle.UnpicklingError) as e:
+            print(f"[vgg] could not load {path} ({e}); using seeded random init")
+    return init_vgg(jax.random.PRNGKey(seed), VGG16_PLAN)

@@ -1,0 +1,167 @@
+"""End-to-end contract tests on synthetic data.
+
+Exercises the reference's public API contract (README.md:66-86):
+AugOptions().parse -> create_dataset -> create_augment ->
+set_input / forward / get_output (+ latent accessors), for the full
+LatentAugment walk, the rand_aug path, and GeometricAugment.
+"""
+
+import numpy as np
+import pytest
+
+from latentaugment_tpu.options import AugOptions
+from latentaugment_tpu.data import create_dataset
+from latentaugment_tpu.augments import create_augment
+
+from synthetic import RES, build_workspace
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    return build_workspace(tmp_path_factory.mktemp("ws"))
+
+
+def _parse(ws, extra=()):
+    argv = ws["argv"] + list(extra)
+    return AugOptions().parse(argv=argv, install_logger=False)
+
+
+def test_dataset_contract(ws):
+    opt = _parse(ws)
+    dataset = create_dataset(opt)
+    assert len(dataset) == 12
+    batch = next(iter(dataset))
+    assert batch["A"].shape == (2, 1, RES, RES)
+    assert batch["B"].shape == (2, 1, RES, RES)
+    assert batch["A"].dtype == np.float32
+    assert batch["A"].min() >= -1.0 and batch["A"].max() <= 1.0
+    assert batch["A_paths"] == batch["B_paths"]
+    assert isinstance(batch["A_paths"][0], str)
+
+
+def test_latent_augment_full_walk(ws):
+    opt = _parse(ws, ["--init_w", "inv", "--p_thres", "0.0",
+                      "--w_pix", "0.1", "--w_lpips", "1.0",
+                      "--w_latent", "0.001", "--w_disc", "0.01"])
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    assert augment.num_ws == ws["g_cfg"].num_ws
+
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+
+    assert out["A"].shape == (2, 1, RES, RES)
+    assert out["B"].shape == (2, 1, RES, RES)
+    assert out["A"].dtype == np.float32
+    assert np.all(np.isfinite(out["A"]))
+    assert out["A_paths"] == batch["A_paths"]
+
+    # The walk must actually move the latents.
+    w_in = augment.get_latent_input()
+    w_out = augment.get_latent_output()
+    assert w_in["w"].shape == (2, ws["g_cfg"].w_dim)
+    assert w_out["w"].shape == (2, ws["g_cfg"].w_dim)
+    assert not np.allclose(w_in["w"], w_out["w"])
+    assert w_in["paths"] == batch["A_paths"]
+
+    assert len(augment.stats_time) == 1
+
+
+def test_latent_augment_p_thres_gate(ws):
+    """p_thres=1.0 -> never augment; output equals input."""
+    opt = _parse(ws, ["--init_w", "inv", "--p_thres", "1.0"])
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+    np.testing.assert_array_equal(out["A"], batch["A"])
+    np.testing.assert_array_equal(out["B"], batch["B"])
+
+
+def test_rand_aug_path(ws):
+    opt = _parse(ws, ["--rand_aug", "--p_thres", "0.0",
+                      "--truncation_psi", "0.7"])
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    # rand_aug forces all weights to zero and epochs to 0.
+    assert opt.w_pix == 0.0 and opt.w_lpips == 0.0
+    assert opt.opt_num_epochs == 0
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+    assert out["A"].shape == (2, 1, RES, RES)
+    assert np.all(np.isfinite(out["A"]))
+    w_out = augment.get_latent_output()
+    assert w_out["paths"] == ""
+    # Output should NOT equal the input (it's a fresh GAN sample).
+    assert not np.allclose(out["A"], batch["A"])
+
+
+def test_soft_aug_interpolation(ws):
+    """alpha=0 soft aug -> w_aug == w_in -> deterministic synthesis of w."""
+    opt = _parse(ws, ["--init_w", "inv", "--p_thres", "0.0",
+                      "--soft_aug", "1", "--alpha", "0.0",
+                      "--w_pix", "0.0", "--w_lpips", "0.0",
+                      "--w_latent", "0.001", "--w_disc", "0.0"])
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    w_in = augment.get_latent_input()
+    w_out = augment.get_latent_output()
+    np.testing.assert_allclose(w_in["w"], w_out["w"], atol=1e-6)
+
+
+def test_lower_bound_clip(ws):
+    opt = _parse(ws, ["--init_w", "inv", "--p_thres", "0.0",
+                      "--lower_bound_clip"])
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+    assert out["A"].min() >= -1.0
+    assert out["B"].min() >= -1.0
+
+
+def test_geometric_augment(ws):
+    opt = AugOptions().parse(argv=[
+        "--dataroot", ws["img_zip"],
+        "--checkpoints_dir", ws["checkpoints_dir"],
+        "--dataset_mode", "pelvis",
+        "--load_size", str(RES),
+        "--batch_size", "2",
+        "--aug", "geometric",
+        "--p_thres", "0.0",
+        "--horizontal_flip", "--affine", "--elastic_deform",
+        "--name", "geo_exp",
+    ], install_logger=False)
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+    assert out["A"].shape == (2, 1, RES, RES)
+    assert np.all(np.isfinite(out["A"]))
+    # With p=1 (p_thres=0) at least the flip must fire.
+    assert not np.allclose(out["A"], batch["A"])
+
+
+def test_manifold_cache_reuse(ws, capsys):
+    """Second construction must hit the DatasetStats disk cache."""
+    extra = ["--init_w", "inv", "--p_thres", "0.0"]
+    opt = _parse(ws, extra)
+    create_augment(opt)
+    capsys.readouterr()
+    opt2 = _parse(ws, extra)
+    create_augment(opt2)
+    captured = capsys.readouterr()
+    assert "already created" in captured.out
