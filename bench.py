@@ -1,0 +1,78 @@
+"""Benchmark: augmented samples/sec for the full LatentAugment walk.
+
+Measures BASELINE.json config #4 — the multi-objective latent walk
+(quality + diversity + proximity + disc), K=10 Adam steps, batch 32,
+256x256, 2 modalities, tuned weights (w_lpips=10, w_pix=0.1,
+w_latent=0.001, w_disc=0.01) — on the available accelerator, end to end
+(walk + final synthesis, device-resident).
+
+vs_baseline: the reference commits no throughput number (BASELINE.md).
+We use an analytic single-A5000 estimate: ~7 TFLOPs/sample for the K=10
+walk (G fwd+bwd, D fwd+bwd, VGG crops, per step) at ~25% TF32
+utilization => ~2.9 samples/sec. Recorded here so successive rounds are
+comparable; see BENCH_NOTES.md for the derivation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+A5000_BASELINE_SAMPLES_PER_SEC = 2.9
+
+
+def main():
+    import jax
+
+    from latentaugment_tpu import benchmark
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        res, batch, k = 256, 32, 10
+        channel_base, channel_max, crop = 32768, 512, 64
+        iters = 5
+    else:  # CPU fallback keeps the bench runnable anywhere.
+        res, batch, k = 32, 8, 3
+        channel_base, channel_max, crop = 1024, 64, 16
+        iters = 2
+
+    print(f"[bench] backend={backend} res={res} batch={batch} K={k}",
+          file=sys.stderr)
+
+    fns, g_cfg = benchmark.build_synthetic_setup(
+        res=res, num_epochs=k, crop_size=crop,
+        channel_base=channel_base, channel_max=channel_max)
+    walk = jax.jit(fns.walk)
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch)
+
+    t0 = time.time()
+    img, ws, _ = walk(w0, crop_pos, synth_key)
+    img.block_until_ready()
+    print(f"[bench] compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(iters):
+        keys = jax.random.split(jax.random.PRNGKey(i), 2)
+        w_i = w0 + 0.001 * i
+        t0 = time.time()
+        img, ws, _ = walk(w_i, crop_pos, keys[0])
+        img.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+    sps = batch / dt
+    print(f"[bench] per-batch times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    vs = sps / A5000_BASELINE_SAMPLES_PER_SEC if on_tpu else 0.0
+    print(json.dumps({
+        "metric": "augmented_samples_per_sec_256px_K10" if on_tpu
+                  else "augmented_samples_per_sec_cpu_smoke",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,121 @@ ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
 
 
+def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
+                  n_modes, w_pix, w_lpips, w_latent, w_disc,
+                  W_summary=None, X_cc_summaries=None, fea_summaries=None,
+                  num_epochs=10, opt_lr=0.01, crop_size=64,
+                  preprocess="center_random_crop", soft_aug=False, alpha=1.0,
+                  truncation_psi=1.0):
+    """Build the pure walk/ganrand/z_to_w/synthesize functions.
+
+    Standalone so benchmarks and the multichip dry-run can construct the
+    exact production compute graph without dataset plumbing. Returns an
+    EasyDict of un-jitted functions (callers choose jit/shardings).
+    """
+    g_syn = g_params["synthesis"]
+    g_map = g_params["mapping"]
+    res = g_cfg.img_resolution
+    num_ws = g_cfg.num_ws
+    modalities = list(range(n_modes))
+    w_pix, w_lpips = float(w_pix), float(w_lpips)
+    w_latent, w_disc = float(w_latent), float(w_disc)
+
+    def broadcast(w):
+        return jnp.repeat(w, num_ws, axis=1)
+
+    def loss_fn(w, crop_pos):
+        ws = broadcast(w)
+        x = networks.synthesis_apply(g_syn, g_cfg, ws, noise_mode="const")
+
+        aux = {}
+        loss_latent = 0.0
+        if w_latent > 0.0:
+            loss_latent = w_latent * losses.l2_mean_loss(
+                ws, W_summary[0], W_summary[1])
+            aux["loss_latent"] = loss_latent
+
+        loss_disc = 0.0
+        if w_disc > 0.0:
+            logits = networks.discriminator_apply(d_params, d_cfg, x)
+            loss_disc = w_disc * losses.disc_softplus_loss(logits)
+            aux["loss_disc"] = loss_disc
+
+        loss_pix = 0.0
+        if w_pix > 0.0:
+            x_cc = manifold.center_crop(x, res)
+            acc = 0.0
+            for m in modalities:
+                acc += w_pix * losses.l2_mean_loss(
+                    x_cc[:, m:m + 1], X_cc_summaries[m][0], X_cc_summaries[m][1])
+            loss_pix = acc / n_modes
+            aux["loss_pix"] = loss_pix
+
+        loss_lpips = 0.0
+        if w_lpips > 0.0:
+            transform = manifold.get_transform(res, crop_size, preprocess)
+            x_crop = transform(x, crop_pos)
+            acc = 0.0
+            for m in modalities:
+                xm = jnp.repeat((x_crop[:, m:m + 1] + 1.0) * 127.5, 3, axis=1)
+                feats = vgg.lpips_features(vgg_params, xm)
+                acc += w_lpips * losses.l2_mean_loss(
+                    feats, fea_summaries[m][0], fea_summaries[m][1],
+                    normalize=False)
+            loss_lpips = acc / n_modes
+            aux["loss_lpips"] = loss_lpips
+
+        total = -loss_latent - loss_pix - loss_lpips + loss_disc
+        aux["loss"] = total
+        return total, aux
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def walk(w0, crop_pos, synth_key):
+        """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces)."""
+        def step(carry, t):
+            w, m, v = carry
+            g, aux = grad_fn(w, crop_pos)
+            m = ADAM_B1 * m + (1 - ADAM_B1) * g
+            v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
+            m_hat = m / (1 - ADAM_B1 ** (t + 1))
+            v_hat = v / (1 - ADAM_B2 ** (t + 1))
+            w = w - opt_lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+            return (w, m, v), aux
+
+        init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
+        (w_opt, _, _), traces = jax.lax.scan(
+            step, init, jnp.arange(num_epochs, dtype=jnp.float32))
+
+        if soft_aug:
+            w_aug = alpha * w_opt + (1.0 - alpha) * w0
+        else:
+            w_aug = w_opt
+        ws_aug = broadcast(w_aug)
+        img_aug = networks.synthesis_apply(g_syn, g_cfg, ws_aug,
+                                           noise_mode="random", rng=synth_key)
+        return img_aug, ws_aug, traces
+
+    def ganrand(z, synth_key):
+        ws = networks.mapping_apply(g_map, g_cfg, z,
+                                    truncation_psi=truncation_psi)
+        img = networks.synthesis_apply(g_syn, g_cfg, ws,
+                                       noise_mode="random", rng=synth_key)
+        return img, ws
+
+    def z_to_w(z):
+        ws = networks.mapping_apply(g_map, g_cfg, z,
+                                    truncation_psi=truncation_psi)
+        return ws[:, :1, :]
+
+    def synthesize(ws, synth_key):
+        return networks.synthesis_apply(g_syn, g_cfg, ws,
+                                        noise_mode="random", rng=synth_key)
+
+    return EasyDict(walk=walk, ganrand=ganrand, z_to_w=z_to_w,
+                    synthesize=synthesize, loss_fn=loss_fn)
+
+
 class LatentAugEngine:
     """Holds G/D/VGG params + manifold summaries + compiled step functions."""
 
@@ -181,118 +296,20 @@ class LatentAugEngine:
     # Compiled functions
 
     def _build_compiled_fns(self):
-        g_syn = self.G_params["synthesis"]
-        g_map = self.G_params["mapping"]
-        g_cfg = self.G_cfg
-        d_params, d_cfg = self.D_params, self.D_cfg
-        vgg_params = self.vgg_params
-        modalities = list(range(len(self.modalities)))
-        w_pix, w_lpips = float(self.w_pix), float(self.w_lpips)
-        w_latent, w_disc = float(self.w_latent), float(self.w_disc)
-        crop_size = self.crop_size
-        preprocess = self.preprocess
-        res = self.res
-        num_ws = self.num_ws
-        W_summary = self.W_summary
-        X_cc = self.X_cc_summaries
-        fea_sum = self.fea_summaries
-        n_modes = len(self.modalities)
-
-        def broadcast(w):
-            return jnp.repeat(w, num_ws, axis=1)
-
-        def loss_fn(w, crop_pos):
-            ws = broadcast(w)
-            x = networks.synthesis_apply(g_syn, g_cfg, ws, noise_mode="const")
-
-            aux = {}
-            loss_latent = 0.0
-            if w_latent > 0.0:
-                loss_latent = w_latent * losses.l2_mean_loss(
-                    ws, W_summary[0], W_summary[1])
-                aux["loss_latent"] = loss_latent
-
-            loss_disc = 0.0
-            if w_disc > 0.0:
-                logits = networks.discriminator_apply(d_params, d_cfg, x)
-                loss_disc = w_disc * losses.disc_softplus_loss(logits)
-                aux["loss_disc"] = loss_disc
-
-            loss_pix = 0.0
-            if w_pix > 0.0:
-                x_cc = manifold.center_crop(x, res)
-                acc = 0.0
-                for m in modalities:
-                    acc += w_pix * losses.l2_mean_loss(
-                        x_cc[:, m:m + 1], X_cc[m][0], X_cc[m][1])
-                loss_pix = acc / n_modes
-                aux["loss_pix"] = loss_pix
-
-            loss_lpips = 0.0
-            if w_lpips > 0.0:
-                transform = manifold.get_transform(res, crop_size, preprocess)
-                x_crop = transform(x, crop_pos)
-                acc = 0.0
-                for m in modalities:
-                    xm = jnp.repeat((x_crop[:, m:m + 1] + 1.0) * 127.5, 3, axis=1)
-                    feats = vgg.lpips_features(vgg_params, xm)
-                    acc += w_lpips * losses.l2_mean_loss(
-                        feats, fea_sum[m][0], fea_sum[m][1], normalize=False)
-                loss_lpips = acc / n_modes
-                aux["loss_lpips"] = loss_lpips
-
-            total = -loss_latent - loss_pix - loss_lpips + loss_disc
-            aux["loss"] = total
-            return total, aux
-
-        grad_fn = jax.grad(loss_fn, has_aux=True)
-
-        num_epochs = self.num_epochs
-        lr = self.opt_lr
-        soft_aug = bool(self.soft_aug)
-        alpha = float(self.alpha)
-
-        def walk(w0, crop_pos, synth_key):
-            """K Adam steps on w; returns (imgAB_aug, w_aug, loss_traces)."""
-            def step(carry, t):
-                w, m, v = carry
-                g, aux = grad_fn(w, crop_pos)
-                m = ADAM_B1 * m + (1 - ADAM_B1) * g
-                v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
-                m_hat = m / (1 - ADAM_B1 ** (t + 1))
-                v_hat = v / (1 - ADAM_B2 ** (t + 1))
-                w = w - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-                return (w, m, v), aux
-
-            init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
-            (w_opt, _, _), traces = jax.lax.scan(
-                step, init, jnp.arange(num_epochs, dtype=jnp.float32))
-
-            if soft_aug:
-                w_aug = alpha * w_opt + (1.0 - alpha) * w0
-            else:
-                w_aug = w_opt
-            ws_aug = broadcast(w_aug)
-            img_aug = networks.synthesis_apply(g_syn, g_cfg, ws_aug,
-                                               noise_mode="random", rng=synth_key)
-            return img_aug, ws_aug, traces
-
-        def ganrand(z, synth_key):
-            """Random GAN augmentation: z -> mapping -> synthesis."""
-            ws = networks.mapping_apply(g_map, g_cfg, z,
-                                        truncation_psi=self.truncation_psi)
-            img = networks.synthesis_apply(g_syn, g_cfg, ws,
-                                           noise_mode="random", rng=synth_key)
-            return img, ws
-
-        def z_to_w(z):
-            ws = networks.mapping_apply(g_map, g_cfg, z,
-                                        truncation_psi=self.truncation_psi)
-            return ws[:, :1, :]
-
-        def synthesize(ws, synth_key):
-            return networks.synthesis_apply(g_syn, g_cfg, ws,
-                                            noise_mode="random", rng=synth_key)
+        fns = make_walk_fns(
+            self.G_params, self.G_cfg, self.D_params, self.D_cfg,
+            self.vgg_params,
+            n_modes=len(self.modalities),
+            w_pix=self.w_pix, w_lpips=self.w_lpips, w_latent=self.w_latent,
+            w_disc=self.w_disc,
+            W_summary=self.W_summary, X_cc_summaries=self.X_cc_summaries,
+            fea_summaries=self.fea_summaries,
+            num_epochs=self.num_epochs, opt_lr=self.opt_lr,
+            crop_size=self.crop_size, preprocess=self.preprocess,
+            soft_aug=bool(self.soft_aug), alpha=float(self.alpha),
+            truncation_psi=self.truncation_psi)
+        walk, ganrand = fns.walk, fns.ganrand
+        z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
 
         if self.mesh is not None:
             from ..parallel import mesh as pmesh

@@ -1,0 +1,53 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh."""
+
+import numpy as np
+
+import jax
+
+from latentaugment_tpu import benchmark
+from latentaugment_tpu.parallel import mesh as pmesh
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_walk_matches_single_device():
+    """Batch-sharded walk must produce identical results to unsharded."""
+    fns, g_cfg = benchmark.build_synthetic_setup(
+        res=32, channel_base=1024, channel_max=64, num_epochs=2, crop_size=16,
+        manifold_items=8, w_lpips=0.0)  # no VGG -> faster
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch_size=8)
+
+    img_single, ws_single, _ = jax.jit(fns.walk)(w0, crop_pos, synth_key)
+
+    mesh = pmesh.get_mesh(8)
+    batch = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    walk_sharded = jax.jit(fns.walk, in_shardings=(batch, repl, repl),
+                           out_shardings=(batch, batch, repl))
+    img_sh, ws_sh, _ = walk_sharded(jax.device_put(w0, batch), crop_pos, synth_key)
+
+    # GSPMD re-associates the batch-mean reductions across shards; only
+    # reduction-order float noise is acceptable.
+    np.testing.assert_allclose(np.asarray(img_single), np.asarray(img_sh),
+                               rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ws_single), np.asarray(ws_sh),
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_pad_to_multiple():
+    x = np.ones((5, 3))
+    padded, n = pmesh.pad_to_multiple(x, 4)
+    assert padded.shape == (8, 3)
+    assert n == 5
+    same, n2 = pmesh.pad_to_multiple(np.ones((8, 3)), 4)
+    assert same.shape == (8, 3)
