@@ -41,14 +41,15 @@ def main():
     print(f"[bench] backend={backend} res={res} batch={batch} K={k}",
           file=sys.stderr)
 
-    fns, g_cfg = benchmark.build_synthetic_setup(
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
         res=res, num_epochs=k, crop_size=crop,
         channel_base=channel_base, channel_max=channel_max)
+    bundle = jax.device_put(bundle)
     walk = jax.jit(fns.walk)
     w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch)
 
     t0 = time.time()
-    img, ws, _ = walk(w0, crop_pos, synth_key)
+    img, ws, _ = walk(bundle, w0, crop_pos, synth_key)
     img.block_until_ready()
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -57,7 +58,7 @@ def main():
         keys = jax.random.split(jax.random.PRNGKey(i), 2)
         w_i = w0 + 0.001 * i
         t0 = time.time()
-        img, ws, _ = walk(w_i, crop_pos, keys[0])
+        img, ws, _ = walk(bundle, w_i, crop_pos, keys[0])
         img.block_until_ready()
         times.append(time.time() - t0)
     dt = min(times)

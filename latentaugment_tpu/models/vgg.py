@@ -149,6 +149,52 @@ def lpips_distance(params, x, y, input_range="0_255"):
 
 
 # ----------------------------------------------------------------------------
+# Metric-detector head (parity: the NVIDIA vgg16.pkl metric detector used
+# by precision/recall returns 4096-d fc features with return_features=True;
+# reference metrics/precision_recall.py:37-38).
+
+def init_vgg_detector(key, plan=VGG16_PLAN):
+    """VGG16 trunk + fc6/fc7 head for 4096-d metric features."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = init_vgg(k1, plan, lpips_lin=False)
+    params["fc6"] = {
+        "weight": jax.random.normal(k2, (4096, 512 * 7 * 7), jnp.float32)
+                  * np.sqrt(2.0 / (512 * 7 * 7)),
+        "bias": jnp.zeros((4096,), jnp.float32),
+    }
+    params["fc7"] = {
+        "weight": jax.random.normal(k3, (4096, 4096), jnp.float32)
+                  * np.sqrt(2.0 / 4096),
+        "bias": jnp.zeros((4096,), jnp.float32),
+    }
+    return params
+
+
+def _adaptive_avg_pool(x, out_hw=7):
+    """Average-pool NCHW x to [N, C, out_hw, out_hw] for any input size."""
+    n, c, h, w = x.shape
+    if h == out_hw and w == out_hw:
+        return x
+    # Integer-bin pooling; assumes h, w >= out_hw.
+    kh, kw = h // out_hw, w // out_hw
+    x = x[:, :, : kh * out_hw, : kw * out_hw]
+    x = x.reshape(n, c, out_hw, kh, out_hw, kw)
+    return jnp.mean(x, axis=(3, 5))
+
+
+def detector_features(params, x, input_range="0_255"):
+    """[N, 3, H, W] (uint8-scale) -> 4096-d pre-softmax features [N, 4096]."""
+    acts = vgg_features(params, x, plan=VGG16_PLAN, taps=["conv5_3"],
+                        input_range=input_range)
+    y = _maxpool2(acts["conv5_3"])
+    y = _adaptive_avg_pool(y, 7)
+    y = y.reshape(y.shape[0], -1)
+    y = jax.nn.relu(y @ params["fc6"]["weight"].T + params["fc6"]["bias"])
+    y = y @ params["fc7"]["weight"].T + params["fc7"]["bias"]
+    return y
+
+
+# ----------------------------------------------------------------------------
 # Weight IO
 
 def load_params(path):

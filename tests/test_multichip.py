@@ -22,19 +22,20 @@ def test_dryrun_multichip_entrypoint():
 
 def test_sharded_walk_matches_single_device():
     """Batch-sharded walk must produce identical results to unsharded."""
-    fns, g_cfg = benchmark.build_synthetic_setup(
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
         res=32, channel_base=1024, channel_max=64, num_epochs=2, crop_size=16,
         manifold_items=8, w_lpips=0.0)  # no VGG -> faster
     w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch_size=8)
 
-    img_single, ws_single, _ = jax.jit(fns.walk)(w0, crop_pos, synth_key)
+    img_single, ws_single, _ = jax.jit(fns.walk)(bundle, w0, crop_pos, synth_key)
 
     mesh = pmesh.get_mesh(8)
     batch = pmesh.batch_sharding(mesh)
     repl = pmesh.replicated(mesh)
-    walk_sharded = jax.jit(fns.walk, in_shardings=(batch, repl, repl),
+    walk_sharded = jax.jit(fns.walk, in_shardings=(repl, batch, repl, repl),
                            out_shardings=(batch, batch, repl))
-    img_sh, ws_sh, _ = walk_sharded(jax.device_put(w0, batch), crop_pos, synth_key)
+    img_sh, ws_sh, _ = walk_sharded(jax.device_put(bundle, repl),
+                                    jax.device_put(w0, batch), crop_pos, synth_key)
 
     # GSPMD re-associates the batch-mean reductions across shards; only
     # reduction-order float noise is acceptable.
