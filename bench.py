@@ -23,7 +23,17 @@ A5000_BASELINE_SAMPLES_PER_SEC = 2.9
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the 256² K=10 walk is a large XLA
+    # program; caching makes repeat bench runs start in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from latentaugment_tpu import benchmark
 
