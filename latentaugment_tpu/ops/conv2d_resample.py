@@ -13,7 +13,8 @@ All tensors NCHW, weights OIHW ([out, in//groups, kh, kw]).
 import jax.numpy as jnp
 from jax import lax
 
-from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
+from .upfirdn2d import (_get_filter_size, _parse_padding,
+                        _upsample_zero_insert, upfirdn2d)
 
 
 def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
@@ -24,6 +25,12 @@ def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
     False flips the kernel spatially first (true convolution). For
     `transpose=True` the weight is expected in torch conv_transpose layout
     `[in, out//groups, kh, kw]`.
+
+    NOTE: transposed convolution is expressed as explicit zero-insertion
+    followed by a PLAIN dense conv. `lhs_dilation` is deliberately never
+    emitted: on the current TPU toolchain a differentiated lhs-dilated
+    conv costs ~400 s of compile time (measured; strided and plain convs
+    compile in ~2 s).
     """
     kh, kw = int(w.shape[-2]), int(w.shape[-1])
     if isinstance(stride, int):
@@ -31,6 +38,7 @@ def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
     if isinstance(padding, int):
         padding = (padding, padding)
     py, px = padding
+    sy, sx = stride
 
     if not flip_weight and (kw > 1 or kh > 1):
         w = jnp.flip(w, axis=(-2, -1))
@@ -44,19 +52,22 @@ def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
             feature_group_count=groups,
         )
 
-    # conv_transpose2d(x, w[I, O//g], stride=s, padding=p) ==
-    # correlation of the s-dilated input, padded by k-1-p, with the weight
-    # transposed to OIHW and spatially flipped.
+    # conv_transpose2d(x, w[I, O//g], stride=s, padding=p) == correlation of
+    # the zero-inserted input (s-1 zeros between samples), padded by k-1-p,
+    # with the weight transposed to OIHW and spatially flipped.
     in_ch, out_pg = int(w.shape[0]), int(w.shape[1])
     w = w.reshape(groups, in_ch // groups, out_pg, kh, kw)
     w = jnp.transpose(w, (0, 2, 1, 3, 4))
     w = w.reshape(groups * out_pg, in_ch // groups, kh, kw)
     w = jnp.flip(w, axis=(-2, -1))
+
+    x = _upsample_zero_insert(x, sx, sy)
+    if sy > 1 or sx > 1:  # drop the trailing inserted zeros (between-only)
+        x = x[:, :, : x.shape[2] - (sy - 1), : x.shape[3] - (sx - 1)]
     return lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((kh - 1 - py, kh - 1 - py), (kw - 1 - px, kw - 1 - px)),
-        lhs_dilation=stride,
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         feature_group_count=groups,
     )

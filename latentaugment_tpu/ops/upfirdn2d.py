@@ -117,47 +117,82 @@ def _depthwise_conv(x, ker_hw, channels, strides=(1, 1), padding=((0, 0), (0, 0)
     )
 
 
+def _upsample_zero_insert(x, upx, upy):
+    """Zero-insertion upsample of NCHW x (trailing zeros included)."""
+    if upx == 1 and upy == 1:
+        return x
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h, 1, w, 1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1)))
+    return x.reshape(b, c, h * upy, w * upx)
+
+
+def _pad_crop(x, padx0, padx1, pady0, pady1):
+    x = jnp.pad(x, ((0, 0), (0, 0),
+                    (max(pady0, 0), max(pady1, 0)),
+                    (max(padx0, 0), max(padx1, 0))))
+    return x[:, :,
+             max(-pady0, 0): x.shape[2] - max(-pady1, 0),
+             max(-padx0, 0): x.shape[3] - max(-padx1, 0)]
+
+
+def _fir_axis(x, taps, axis):
+    """1-D FIR along `axis` (valid mode) as shift-and-add slice arithmetic.
+
+    A depthwise (feature_group_count=C) conv gradient is pathologically
+    slow on the TPU toolchain — ~500 s compile and ~20x runtime vs a
+    dense conv (measured; see ops docstring). The FIR filters here are
+    tiny (4 taps for StyleGAN2), so T scaled static slices on the VPU
+    compile instantly, fuse with neighbors, and differentiate as the
+    same slice-add pattern.
+    """
+    t = int(taps.shape[0])
+    size = x.shape[axis] - t + 1
+    acc = None
+    for i in range(t):
+        sl = lax.slice_in_dim(x, i, i + size, axis=axis)
+        term = sl * taps[i]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _fir2d(x, f):
+    """2-D FIR (valid mode) via row-of-taps slice arithmetic."""
+    fh, fw = int(f.shape[0]), int(f.shape[1])
+    out_h = x.shape[2] - fh + 1
+    out_w = x.shape[3] - fw + 1
+    acc = None
+    for i in range(fh):
+        for j in range(fw):
+            sl = x[:, :, i:i + out_h, j:j + out_w]
+            term = sl * f[i, j]
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain):
-    """Fused path: zero-insert + pad + FIR + stride in lax conv calls."""
-    batch, channels, in_h, in_w = x.shape
+    """Fast path: zero-insert + pad + shift-add FIR + strided slice.
+
+    All stages are data movement / VPU multiply-adds that XLA fuses;
+    no grouped convs anywhere (see _fir_axis for why that matters).
+    """
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
     f, separable = _prep_filter(f, gain, flip_filter, x.dtype)
 
-    # lax lhs_dilation inserts zeros only *between* samples; the upfirdn
-    # definition also appends `up-1` trailing zeros, which is equivalent to
-    # extra high padding on the dilated input.
-    padx1 = padx1 + (upx - 1)
-    pady1 = pady1 + (upy - 1)
+    x = _upsample_zero_insert(x, upx, upy)
+    x = _pad_crop(x, padx0, padx1, pady0, pady1)
 
-    if not separable:
-        return _depthwise_conv(
-            x, f, channels,
-            strides=(downy, downx),
-            padding=((pady0, pady1), (padx0, padx1)),
-            lhs_dilation=(upy, upx),
-        )
+    if separable:
+        x = _fir_axis(x, f, axis=3)
+        x = _fir_axis(x, f, axis=2)
+    elif f.shape[0] == 1 or f.shape[1] == 1:
+        x = _fir_axis(x, f.reshape(-1), axis=3 if f.shape[0] == 1 else 2)
+    else:
+        x = _fir2d(x, f)
 
-    # Separable: horizontal pass (up/pad/filter in x), then vertical pass.
-    # Splitting the strided downsample across the two passes keeps each
-    # pass's output minimal.
-    taps = f.shape[0]
-    fx = f.reshape(1, taps)
-    fy = f.reshape(taps, 1)
-    x = _depthwise_conv(
-        x, fx, channels,
-        strides=(1, downx),
-        padding=((0, 0), (padx0, padx1)),
-        lhs_dilation=(1, upx),
-    )
-    x = _depthwise_conv(
-        x, fy, channels,
-        strides=(downy, 1),
-        padding=((pady0, pady1), (0, 0)),
-        lhs_dilation=(upy, 1),
-    )
-    return x
+    return x[:, :, ::downy, ::downx]
 
 
 def _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain):
