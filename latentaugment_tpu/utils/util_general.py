@@ -64,6 +64,28 @@ def get_next_run_id_local(run_dir_root, module):
     return max(dir_names) + 1 if dir_names else 0
 
 
+def construct_class_by_name(*args, class_name=None, **kwargs):
+    """Instantiate a class from its fully qualified name
+    (parity: reference dnnlib/util.py:314-317)."""
+    import importlib
+
+    module_name, local_name = class_name.rsplit(".", 1)
+    module = importlib.import_module(module_name)
+    return getattr(module, local_name)(*args, **kwargs)
+
+
+def format_time(seconds):
+    """Seconds -> 'Xs' / 'Xm Ys' / 'Xh Ym' (parity: dnnlib.util.format_time)."""
+    s = int(round(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60:02d}s"
+    if s < 86400:
+        return f"{s // 3600}h {(s // 60) % 60:02d}m"
+    return f"{s // 86400}d {(s // 3600) % 24:02d}h"
+
+
 def notification_ifttt(info):
     """Push-notification stub (parity: util_general.py:101-104). No egress here."""
     print(f"[notification] {info}")
