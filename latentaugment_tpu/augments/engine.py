@@ -83,8 +83,11 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
 
     def loss_fn(w, bundle, crop_pos):
         ws = broadcast(w)
+        # remat: recompute block activations in the backward pass — the
+        # stored residuals of the full G+D fwd at 256² batch 32 would need
+        # ~22 GB HBM (> the 16 GB of a v5e chip).
         x = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
-                                     noise_mode="const")
+                                     noise_mode="const", remat=True)
 
         aux = {}
         loss_latent = 0.0
@@ -96,7 +99,8 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
 
         loss_disc = 0.0
         if w_disc > 0.0:
-            logits = networks.discriminator_apply(bundle["d"], d_cfg, x)
+            logits = networks.discriminator_apply(bundle["d"], d_cfg, x,
+                                                  remat=True)
             loss_disc = w_disc * losses.disc_softplus_loss(logits)
             aux["loss_disc"] = loss_disc
 

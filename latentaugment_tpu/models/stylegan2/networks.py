@@ -230,8 +230,14 @@ def synthesis_init(key, cfg):
     return p
 
 
-def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None):
-    """ws [N, num_ws, w_dim] -> image [N, img_channels, res, res] (skip arch)."""
+def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None, remat=False):
+    """ws [N, num_ws, w_dim] -> image [N, img_channels, res, res] (skip arch).
+
+    remat=True checkpoints each block: the backward pass recomputes the
+    block's activations instead of storing them — needed to keep the
+    K-step walk's gradient inside a single chip's HBM at batch 32
+    (unchecked, the 256² fwd+bwd residuals alone exceed 16 GB).
+    """
     f = params['resample_filter']
     n = ws.shape[0]
     # bf16 for the largest blocks when requested (reference num_fp16_res).
@@ -239,32 +245,49 @@ def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None):
     if cfg.num_fp16_res > 0:
         fp16_resolutions = set(cfg.block_resolutions[-cfg.num_fp16_res:])
 
+    def block_fn(res, dtype, first):
+        def apply(block, f, x, ws_block, rngs):
+            w_idx = 0
+            if first:
+                x = jnp.broadcast_to(block['const'][None],
+                                     (n,) + block['const'].shape)
+                x = x.astype(dtype)
+            else:
+                x = x.astype(dtype)
+                x = synthesis_layer_apply(block['conv0'], cfg, x,
+                                          ws_block[:, 0], f, up=2,
+                                          noise_mode=noise_mode,
+                                          rng=(rngs[0] if rngs is not None else None))
+                w_idx = 1
+            x = synthesis_layer_apply(block['conv1'], cfg, x,
+                                      ws_block[:, w_idx], f,
+                                      noise_mode=noise_mode,
+                                      rng=(rngs[1] if rngs is not None else None))
+            y = torgb_apply(block['torgb'], cfg, x.astype(jnp.float32),
+                            ws_block[:, w_idx + 1])
+            return x, y
+        return jax.checkpoint(apply) if remat else apply
+
     x = None
     img = None
     w_idx = 0
-    rngs = iter(jax.random.split(rng, 64)) if rng is not None else None
-    for res in cfg.block_resolutions:
+    key_iter = list(jax.random.split(rng, 2 * len(cfg.block_resolutions))) \
+        if rng is not None else None
+    for bi, res in enumerate(cfg.block_resolutions):
         block = params[f'b{res}']
         dtype = jnp.bfloat16 if res in fp16_resolutions else jnp.float32
-        if res == 4:
-            x = jnp.broadcast_to(block['const'][None], (n,) + block['const'].shape)
-            x = x.astype(dtype)
-            x = synthesis_layer_apply(block['conv1'], cfg, x, ws[:, w_idx],
-                                      f, noise_mode=noise_mode,
-                                      rng=(next(rngs) if rngs else None))
-            w_idx += 1
-        else:
-            x = x.astype(dtype)
-            x = synthesis_layer_apply(block['conv0'], cfg, x, ws[:, w_idx], f,
-                                      up=2, noise_mode=noise_mode,
-                                      rng=(next(rngs) if rngs else None))
-            x = synthesis_layer_apply(block['conv1'], cfg, x, ws[:, w_idx + 1], f,
-                                      noise_mode=noise_mode,
-                                      rng=(next(rngs) if rngs else None))
-            w_idx += 2
+        first = (res == 4)
+        n_conv = 1 if first else 2
+        # ws slice covering this block's convs + its torgb (next w).
+        ws_block = ws[:, w_idx:w_idx + n_conv + 1]
+        rngs = (jnp.stack(key_iter[2 * bi:2 * bi + 2])
+                if key_iter is not None else None)
+        x, y = block_fn(res, dtype, first)(block, f, x if x is not None
+                                           else jnp.zeros((), jnp.float32),
+                                           ws_block, rngs)
+        w_idx += n_conv
         if img is not None:
             img = upsample2d(img, f, up=2)
-        y = torgb_apply(block['torgb'], cfg, x.astype(jnp.float32), ws[:, w_idx])
         img = y if img is None else img + y
     return img
 
@@ -346,13 +369,19 @@ def discriminator_init(key, cfg):
     return p
 
 
-def discriminator_apply(params, cfg, img, c=None):
-    """img [N, C, res, res] -> logits [N, 1]."""
+def discriminator_apply(params, cfg, img, c=None, remat=False):
+    """img [N, C, res, res] -> logits [N, 1]. remat: checkpoint each block
+    (see synthesis_apply)."""
     f = params['resample_filter']
     x = None
     first = True
     for res in cfg.block_resolutions:
-        x = _disc_block_apply(params[f'b{res}'], cfg, x, img, f, first)
+        fn = (lambda block, f, x, img, first=first, res=res:
+              _disc_block_apply(block, cfg, x, img, f, first))
+        if remat:
+            fn = jax.checkpoint(fn)
+        x = fn(params[f'b{res}'], f,
+               x if x is not None else jnp.zeros((), jnp.float32), img)
         first = False
     # Epilogue at 4x4.
     ep = params['b4']
