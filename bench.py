@@ -56,11 +56,21 @@ def main():
         channel_base=channel_base, channel_max=channel_max)
     bundle = jax.device_put(bundle)
     walk = jax.jit(fns.walk)
-    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch)
 
-    t0 = time.time()
-    img, ws, _ = walk(bundle, w0, crop_pos, synth_key)
-    img.block_until_ready()
+    while True:
+        w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch)
+        t0 = time.time()
+        try:
+            img, ws, _ = walk(bundle, w0, crop_pos, synth_key)
+            img.block_until_ready()
+            break
+        except Exception as e:  # HBM OOM -> halve the batch and retry
+            if batch > 4 and ("hbm" in str(e).lower() or "memory" in str(e).lower()):
+                print(f"[bench] batch {batch} OOM; retrying batch {batch // 2}",
+                      file=sys.stderr)
+                batch //= 2
+                continue
+            raise
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
     times = []

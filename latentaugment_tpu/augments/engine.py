@@ -186,6 +186,7 @@ class LatentAugEngine:
     """Holds G/D/VGG params + manifold summaries + compiled step functions."""
 
     def __init__(self, phase, opt, save_dir, mesh=None):
+        self._opt_ref = opt
         self.save_dir = save_dir
         self.model_dir = opt.model_dir
         self.interim_dir = opt.interim_dir
@@ -310,6 +311,14 @@ class LatentAugEngine:
         g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(
             path, img_resolution=self.res, img_channels=len(self.modalities))
         print("Done.")
+        # bf16 knob (runtime choice on TPU, independent of how the
+        # checkpoint was trained).
+        n16 = getattr(self._opt_ref, "num_fp16_res", 0) or 0
+        if self.res < 64:
+            n16 = 0
+        g_cfg.num_fp16_res = n16
+        if d_cfg is not None:
+            d_cfg.num_fp16_res = n16
         g_params = jax.tree_util.tree_map(jnp.asarray, g_params)
         if d_params is not None:
             d_params = jax.tree_util.tree_map(jnp.asarray, d_params)

@@ -72,6 +72,7 @@ class LatentAugment(BaseAugment):
         parser.add_argument('--w_latent', help='Weight of latent loss', type=float, default=1.0)
         parser.add_argument('--w_disc', help='Weight of discriminator loss.', type=float, default=1.0)
 
+        parser.add_argument('--num_fp16_res', help='Run the top-N resolution blocks of G/D in bfloat16 (halves HBM, feeds the MXU natively; 0 = full fp32).', type=int, default=4)
         parser.add_argument('--p_thres', help='Augmentation probability.', type=float, default=1.0)
         parser.add_argument('--soft_aug', help='Activate smooth augmentation via interpolation.', type=bool, default=False)
         parser.add_argument('--alpha', help='Value for linear interpolation in soft_aug.', type=float, default=1.0)

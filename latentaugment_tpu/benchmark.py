@@ -21,7 +21,7 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                           channel_max=512, num_epochs=10, opt_lr=0.01,
                           crop_size=64, w_pix=0.1, w_lpips=10.0,
                           w_latent=0.001, w_disc=0.01, manifold_items=64,
-                          seed=0):
+                          num_fp16_res=4, seed=0):
     """Returns (fns, bundle, g_cfg) — un-jitted walk fns (taking the bundle
     as first arg) plus the device-state bundle on synthetic weights.
 
@@ -32,13 +32,17 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
     key = jax.random.PRNGKey(seed)
     kg, kd, kv, km = jax.random.split(key, 4)
 
+    # bf16 on the top blocks (the reference trains its 256² models with
+    # num_fp16_res=4); halves the walk's HBM footprint and feeds the MXU
+    # at its native precision.
     g_cfg = networks.generator_config(
         img_resolution=res, img_channels=img_channels,
-        channel_base=channel_base, channel_max=channel_max)
+        channel_base=channel_base, channel_max=channel_max,
+        num_fp16_res=(num_fp16_res if res >= 64 else 0))
     d_cfg = networks.discriminator_config(
         img_resolution=res, img_channels=img_channels,
         channel_base=channel_base, channel_max=channel_max,
-        mbstd_group_size=4)
+        mbstd_group_size=4, num_fp16_res=(num_fp16_res if res >= 64 else 0))
     g_params = networks.generator_init(kg, g_cfg)
     d_params = networks.discriminator_init(kd, d_cfg)
     vgg_params = vgg.init_vgg(kv) if w_lpips > 0 else None

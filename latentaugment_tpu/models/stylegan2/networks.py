@@ -371,18 +371,31 @@ def discriminator_init(key, cfg):
 
 def discriminator_apply(params, cfg, img, c=None, remat=False):
     """img [N, C, res, res] -> logits [N, 1]. remat: checkpoint each block
-    (see synthesis_apply)."""
+    (see synthesis_apply). num_fp16_res > 0 runs the highest-resolution
+    blocks in bfloat16."""
     f = params['resample_filter']
+    fp16_resolutions = set()
+    if cfg.num_fp16_res > 0:
+        fp16_resolutions = set(
+            sorted(cfg.block_resolutions)[-cfg.num_fp16_res:])
     x = None
     first = True
     for res in cfg.block_resolutions:
-        fn = (lambda block, f, x, img, first=first, res=res:
-              _disc_block_apply(block, cfg, x, img, f, first))
+        dtype = jnp.bfloat16 if res in fp16_resolutions else jnp.float32
+
+        def fn(block, f, x, img, first=first, dtype=dtype):
+            if first:
+                img = img.astype(dtype)
+            else:
+                x = x.astype(dtype)
+            return _disc_block_apply(block, cfg, x, img, f, first)
+
         if remat:
             fn = jax.checkpoint(fn)
         x = fn(params[f'b{res}'], f,
                x if x is not None else jnp.zeros((), jnp.float32), img)
         first = False
+    x = x.astype(jnp.float32)
     # Epilogue at 4x4.
     ep = params['b4']
     x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_num_channels)
