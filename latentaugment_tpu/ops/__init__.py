@@ -6,3 +6,4 @@ from .conv2d_resample import conv2d_resample  # noqa: F401
 from .modulated_conv import modulated_conv2d  # noqa: F401
 from .grid_sample import grid_sample  # noqa: F401
 from .fma import fma  # noqa: F401
+from .filtered_lrelu import filtered_lrelu  # noqa: F401
