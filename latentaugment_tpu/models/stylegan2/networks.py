@@ -84,7 +84,8 @@ def _fc_init(key, in_features, out_features, bias=True, bias_init=0.0):
 def fc_apply(p, x, activation='linear', lr_multiplier=1.0):
     """FullyConnectedLayer: equalized-lr linear + bias_act."""
     in_features = p['weight'].shape[1]
-    w = p['weight'].astype(x.dtype) * (lr_multiplier / np.sqrt(in_features))
+    # float(): np scalars are strongly typed and would promote bf16 -> f32.
+    w = p['weight'].astype(x.dtype) * float(lr_multiplier / np.sqrt(in_features))
     x = x @ w.T
     b = p.get('bias')
     if b is not None:
@@ -105,7 +106,7 @@ def conv_apply(p, x, f=None, up=1, down=1, activation='linear', gain=1.0,
                conv_clamp=None):
     """Conv2dLayer: equalized-lr conv with optional resampling + bias_act."""
     out_ch, in_ch, kh, kw = p['weight'].shape
-    w = p['weight'].astype(x.dtype) * (1.0 / np.sqrt(in_ch * kh * kw))
+    w = p['weight'].astype(x.dtype) * float(1.0 / np.sqrt(in_ch * kh * kw))
     flip_weight = (up == 1)
     x = conv2d_resample(x, w, f=f, up=up, down=down, padding=kh // 2,
                         flip_weight=flip_weight)
@@ -201,7 +202,7 @@ def _torgb_init(key, in_ch, out_ch, w_dim):
 
 def torgb_apply(p, cfg, x, w):
     in_ch = p['weight'].shape[1]
-    styles = fc_apply(p['affine'], w) * (1.0 / np.sqrt(in_ch))
+    styles = fc_apply(p['affine'], w) * float(1.0 / np.sqrt(in_ch))
     x = modulated_conv2d(x, p['weight'].astype(x.dtype), styles, demodulate=False)
     return bias_act(x, p['bias'].astype(x.dtype), clamp=cfg.conv_clamp)
 
