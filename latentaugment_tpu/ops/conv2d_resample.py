@@ -61,9 +61,8 @@ def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
     w = w.reshape(groups * out_pg, in_ch // groups, kh, kw)
     w = jnp.flip(w, axis=(-2, -1))
 
-    x = _upsample_zero_insert(x, sx, sy)
-    if sy > 1 or sx > 1:  # drop the trailing inserted zeros (between-only)
-        x = x[:, :, : x.shape[2] - (sy - 1), : x.shape[3] - (sx - 1)]
+    if sy > 1 or sx > 1:
+        return _transpose_conv_subpixel(x, w, (sy, sx), (py, px), groups)
     return lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
@@ -71,6 +70,72 @@ def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,
         dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
         feature_group_count=groups,
     )
+
+
+def _transpose_conv_subpixel(x, w, stride, padding, groups):
+    """Stride-s transposed conv via the sub-pixel decomposition.
+
+    Computing over a zero-inserted input wastes (s^2-1)/s^2 of the MACs
+    (the MXU multiplies the inserted zeros). Instead, each output parity
+    class (r_y, r_x) is an ordinary stride-1 correlation of the ORIGINAL
+    input with the sub-kernel w[s_r::s] at an offset — s^2 dense convs at
+    input resolution, interleaved — exactly 1/s^2 the MACs, all of them
+    useful. Derivation: with q = k-1-p, the zero-inserted correlation is
+    y[s*j + r] = sum_a w[s*a + s_r] x[j + a + off_r], where
+    s_r = (q - r) mod s and off_r = (r + s_r - q) / s.
+
+    `w` here is already in OIHW layout with the conv_transpose transforms
+    (transposed + spatially flipped) applied.
+    """
+    sy, sx = stride
+    py, px = padding
+    n, c, in_h, in_w = x.shape
+    kh, kw = int(w.shape[-2]), int(w.shape[-1])
+    qy, qx = kh - 1 - py, kw - 1 - px
+    out_h = sy * (in_h - 1) + kh - 2 * py
+    out_w = sx * (in_w - 1) + kw - 2 * px
+    assert out_h > 0 and out_w > 0
+
+    def parity_params(r, s, q, k, n_in, l_total):
+        s_r = (q - r) % s
+        off = (r + s_r - q) // s
+        k_r = len(range(s_r, k, s))
+        l_r = (l_total - r + s - 1) // s  # count of m in [0, L) with m % s == r
+        pad_lo = -off
+        pad_hi = l_r - (n_in + pad_lo - k_r + 1)
+        return s_r, k_r, l_r, pad_lo, pad_hi
+
+    rows = []
+    for ry in range(sy):
+        s_ry, k_ry, l_ry, pl_y, ph_y = parity_params(ry, sy, qy, kh, in_h, out_h)
+        cols = []
+        for rx in range(sx):
+            s_rx, k_rx, l_rx, pl_x, ph_x = parity_params(rx, sx, qx, kw, in_w,
+                                                         out_w)
+            if l_ry <= 0 or l_rx <= 0:
+                cols.append(None)
+                continue
+            sub_w = w[:, :, s_ry::sy, s_rx::sx]
+            y = lax.conv_general_dilated(
+                x, sub_w,
+                window_strides=(1, 1),
+                padding=((pl_y, ph_y), (pl_x, ph_x)),
+                dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+                feature_group_count=groups,
+            )
+            cols.append(y)
+        rows.append(cols)
+
+    # Interleave the parity outputs back to full resolution.
+    out_c = rows[0][0].shape[1]
+    out = jnp.zeros((n, out_c, out_h, out_w), rows[0][0].dtype)
+    for ry in range(sy):
+        for rx in range(sx):
+            y = rows[ry][rx]
+            if y is None:
+                continue
+            out = out.at[:, :, ry::sy, rx::sx].set(y)
+    return out
 
 
 def conv2d_resample(x, w, f=None, up=1, down=1, padding=0, groups=1,

@@ -43,6 +43,24 @@ def shard_batch(x, mesh):
     return jax.device_put(x, batch_sharding(mesh))
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (multi-slice DP over DCN).
+
+    Thin wrapper over jax.distributed.initialize; after it, get_mesh()
+    spans all processes' devices and the same NamedShardings scale out —
+    no further code changes (GSPMD handles the DCN edges).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def pad_to_multiple(x, multiple, axis=0):
     """Pad the batch so it divides the mesh size; returns (padded, orig_len)."""
     n = x.shape[axis]
