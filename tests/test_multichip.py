@@ -45,6 +45,37 @@ def test_sharded_walk_matches_single_device():
                                rtol=1e-2, atol=2e-3)
 
 
+def test_psum_moments_shard_map():
+    """Moment triples reduce correctly across the mesh (training_stats parity)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from latentaugment_tpu.parallel import stats
+
+    mesh = pmesh.get_mesh(8)
+    x = np.arange(16, dtype=np.float32).reshape(8, 2)
+
+    def per_shard(xs):
+        m = stats.moments(xs)
+        return stats.psum_moments(m, "data")
+
+    fn = shard_map(per_shard, mesh=mesh, in_specs=P("data"), out_specs=P())
+    m = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_allclose(m[0], 16)
+    np.testing.assert_allclose(m[1], x.sum())
+    np.testing.assert_allclose(m[2], (x ** 2).sum())
+
+
+def test_check_replica_consistency():
+    from latentaugment_tpu.utils.util_misc import check_replica_consistency
+
+    mesh = pmesh.get_mesh(8)
+    tree = {"a": jax.device_put(np.ones((8, 4), np.float32),
+                                pmesh.replicated(mesh))}
+    check_replica_consistency(tree)
+
+
 def test_pad_to_multiple():
     x = np.ones((5, 3))
     padded, n = pmesh.pad_to_multiple(x, 4)
