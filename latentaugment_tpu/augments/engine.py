@@ -63,7 +63,7 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
 def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                   w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
-                  truncation_psi=1.0):
+                  truncation_psi=1.0, remat=True):
     """Build the pure walk/ganrand/z_to_w/synthesize functions.
 
     Each returned fn takes a `bundle` (see make_bundle) as its first
@@ -83,11 +83,11 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
 
     def loss_fn(w, bundle, crop_pos):
         ws = broadcast(w)
-        # remat: recompute block activations in the backward pass — the
-        # stored residuals of the full G+D fwd at 256² batch 32 would need
-        # ~22 GB HBM (> the 16 GB of a v5e chip).
+        # remat: recompute block activations in the backward pass when the
+        # stored residuals of the full G+D fwd would blow HBM (fp32 batch 32
+        # at 256² needs ~22 GB vs the 16 GB of a v5e chip).
         x = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
-                                     noise_mode="const", remat=True)
+                                     noise_mode="const", remat=remat)
 
         aux = {}
         loss_latent = 0.0
@@ -100,7 +100,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         loss_disc = 0.0
         if w_disc > 0.0:
             logits = networks.discriminator_apply(bundle["d"], d_cfg, x,
-                                                  remat=True)
+                                                  remat=remat)
             loss_disc = w_disc * losses.disc_softplus_loss(logits)
             aux["loss_disc"] = loss_disc
 
@@ -336,7 +336,9 @@ class LatentAugEngine:
             num_epochs=self.num_epochs, opt_lr=self.opt_lr,
             crop_size=self.crop_size, preprocess=self.preprocess,
             soft_aug=bool(self.soft_aug), alpha=float(self.alpha),
-            truncation_psi=self.truncation_psi)
+            truncation_psi=self.truncation_psi,
+            # No-remat is ~27% faster and fits HBM with bf16 blocks on.
+            remat=(self.G_cfg.num_fp16_res == 0))
         walk, ganrand = fns.walk, fns.ganrand
         z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
 

@@ -21,7 +21,7 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                           channel_max=512, num_epochs=10, opt_lr=0.01,
                           crop_size=64, w_pix=0.1, w_lpips=10.0,
                           w_latent=0.001, w_disc=0.01, manifold_items=64,
-                          num_fp16_res=4, seed=0):
+                          num_fp16_res=4, remat=None, seed=0):
     """Returns (fns, bundle, g_cfg) — un-jitted walk fns (taking the bundle
     as first arg) plus the device-state bundle on synthetic weights.
 
@@ -73,11 +73,16 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                                   (manifold_items, fdim)) * 0.01
             fea_summaries.append(losses.manifold_summary(F))
 
+    if remat is None:
+        # bf16 activations fit unchecked in HBM at batch 32/256²; fp32 needs
+        # block remat. Measured: no-remat is ~27% faster when it fits.
+        remat = g_cfg.num_fp16_res == 0
     fns = engine_mod.make_walk_fns(
         g_cfg, d_cfg,
         n_modes=img_channels, w_pix=w_pix, w_lpips=w_lpips,
         w_latent=w_latent, w_disc=w_disc,
-        num_epochs=num_epochs, opt_lr=opt_lr, crop_size=crop_size)
+        num_epochs=num_epochs, opt_lr=opt_lr, crop_size=crop_size,
+        remat=remat)
     bundle = engine_mod.make_bundle(
         g_params, d_params, vgg_params, W_summary=W_summary,
         X_cc_summaries=X_cc_summaries, fea_summaries=fea_summaries)
