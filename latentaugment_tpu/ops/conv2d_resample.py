@@ -126,8 +126,18 @@ def _transpose_conv_subpixel(x, w, stride, padding, groups):
             cols.append(y)
         rows.append(cols)
 
-    # Interleave the parity outputs back to full resolution.
+    # Interleave the parity outputs back to full resolution. When every
+    # parity class has equal length (out dims divisible by stride — the
+    # SG2 case) a stack+reshape does it with pure data movement; otherwise
+    # fall back to strided scatter.
     out_c = rows[0][0].shape[1]
+    if out_h % sy == 0 and out_w % sx == 0 and \
+            all(y is not None and y.shape[2] == out_h // sy
+                and y.shape[3] == out_w // sx for r in rows for y in r):
+        stacked = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+        # [sy, sx, n, c, H/sy, W/sx] -> [n, c, H/sy, sy, W/sx, sx]
+        stacked = jnp.transpose(stacked, (2, 3, 4, 0, 5, 1))
+        return stacked.reshape(n, out_c, out_h, out_w)
     out = jnp.zeros((n, out_c, out_h, out_w), rows[0][0].dtype)
     for ry in range(sy):
         for rx in range(sx):
