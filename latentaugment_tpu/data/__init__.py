@@ -76,7 +76,13 @@ def _collate(samples):
 
 
 class CustomDatasetDataLoader:
-    """Wrapper class of Dataset class that performs batched host loading."""
+    """Wrapper class of Dataset class that performs batched host loading.
+
+    With prefetch > 0 (default 2), a background thread pool loads and
+    collates the next batches while the device is busy with the current
+    one — the host-side analogue of the reference's multi-worker torch
+    DataLoader, overlapping zip/pickle IO with TPU compute.
+    """
 
     def __init__(self, opt):
         self.opt = opt
@@ -85,6 +91,7 @@ class CustomDatasetDataLoader:
         print("dataset [%s] was created" % type(self.dataset).__name__)
         self.batch_size = opt.batch_size
         self.shuffle = not opt.serial_batches
+        self.prefetch = int(getattr(opt, "prefetch_batches", 2))
         self._rng = random.Random(getattr(opt, "seed", 42))
 
     def load_data(self):
@@ -93,20 +100,45 @@ class CustomDatasetDataLoader:
     def __len__(self):
         return int(min(len(self.dataset), self.opt.max_dataset_size))
 
-    def __iter__(self):
-        """Yield full batches (last partial batch dropped only if empty)."""
+    def _batch_indices(self):
         order = list(range(len(self.dataset)))
         if self.shuffle:
             self._rng.shuffle(order)
-        batch = []
+        batches = []
         emitted = 0
+        batch = []
         for idx in order:
             if emitted * self.batch_size >= self.opt.max_dataset_size:
-                return
-            batch.append(self.dataset[idx])
+                return batches
+            batch.append(idx)
             if len(batch) == self.batch_size:
-                yield _collate(batch)
+                batches.append(batch)
                 emitted += 1
                 batch = []
         if batch and emitted * self.batch_size < self.opt.max_dataset_size:
-            yield _collate(batch)
+            batches.append(batch)
+        return batches
+
+    def _load_batch(self, indices):
+        return _collate([self.dataset[i] for i in indices])
+
+    def __iter__(self):
+        """Yield full batches (last partial batch dropped only if empty)."""
+        batches = self._batch_indices()
+        if self.prefetch <= 0 or len(batches) <= 1:
+            for indices in batches:
+                yield self._load_batch(indices)
+            return
+
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=self.prefetch) as pool:
+            futures = [pool.submit(self._load_batch, b)
+                       for b in batches[: self.prefetch]]
+            nxt = self.prefetch
+            for _ in range(len(batches)):
+                batch = futures.pop(0).result()
+                if nxt < len(batches):
+                    futures.append(pool.submit(self._load_batch, batches[nxt]))
+                    nxt += 1
+                yield batch
