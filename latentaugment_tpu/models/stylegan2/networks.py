@@ -234,13 +234,19 @@ def synthesis_init(key, cfg):
 def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None, remat=False):
     """ws [N, num_ws, w_dim] -> image [N, img_channels, res, res] (skip arch).
 
-    remat=True checkpoints each block: the backward pass recomputes the
-    block's activations instead of storing them — needed to keep the
-    K-step walk's gradient inside a single chip's HBM at batch 32
-    (unchecked, the 256² fwd+bwd residuals alone exceed 16 GB).
+    remat checkpoints blocks: the backward pass recomputes their
+    activations instead of storing them — needed to keep the K-step
+    walk's gradient inside a single chip's HBM at batch 32 (unchecked,
+    the fp32 256² fwd+bwd residuals alone exceed 16 GB). remat may be
+    bool (all blocks) or an int: remat only blocks with res >= that.
     """
     f = params['resample_filter']
     n = ws.shape[0]
+
+    def want_remat(res):
+        if isinstance(remat, bool):
+            return remat
+        return res >= int(remat)
     # bf16 for the largest blocks when requested (reference num_fp16_res).
     fp16_resolutions = set()
     if cfg.num_fp16_res > 0:
@@ -267,7 +273,7 @@ def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None, remat=False):
             y = torgb_apply(block['torgb'], cfg, x.astype(jnp.float32),
                             ws_block[:, w_idx + 1])
             return x, y
-        return jax.checkpoint(apply) if remat else apply
+        return jax.checkpoint(apply) if want_remat(res) else apply
 
     x = None
     img = None
@@ -371,10 +377,16 @@ def discriminator_init(key, cfg):
 
 
 def discriminator_apply(params, cfg, img, c=None, remat=False):
-    """img [N, C, res, res] -> logits [N, 1]. remat: checkpoint each block
-    (see synthesis_apply). num_fp16_res > 0 runs the highest-resolution
+    """img [N, C, res, res] -> logits [N, 1]. remat: checkpoint blocks
+    (bool = all, int = only blocks with res >= remat; see
+    synthesis_apply). num_fp16_res > 0 runs the highest-resolution
     blocks in bfloat16."""
     f = params['resample_filter']
+
+    def want_remat(res):
+        if isinstance(remat, bool):
+            return remat
+        return res >= int(remat)
     fp16_resolutions = set()
     if cfg.num_fp16_res > 0:
         fp16_resolutions = set(
@@ -391,7 +403,7 @@ def discriminator_apply(params, cfg, img, c=None, remat=False):
                 x = x.astype(dtype)
             return _disc_block_apply(block, cfg, x, img, f, first)
 
-        if remat:
+        if want_remat(res):
             fn = jax.checkpoint(fn)
         x = fn(params[f'b{res}'], f,
                x if x is not None else jnp.zeros((), jnp.float32), img)
