@@ -14,7 +14,7 @@ from latentaugment_tpu.augments import create_augment
 from latentaugment_tpu.data import create_dataset
 from latentaugment_tpu.utils import util_io, util_path
 
-n_imgs = 1000
+n_imgs = int(os.environ.get('LATENTAUGMENT_N_IMGS', 1000))
 
 
 def main():

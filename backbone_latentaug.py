@@ -28,7 +28,7 @@ params_space = {
     'opt_lr': [0.01],
 }
 
-n_imgs = 10000
+n_imgs = int(os.environ.get('LATENTAUGMENT_N_IMGS', 10000))
 
 
 def main():

@@ -15,7 +15,7 @@ from latentaugment_tpu.data import create_dataset
 from latentaugment_tpu.utils import util_io, util_path
 
 truncation_psi = [1.0]
-n_imgs = 10000
+n_imgs = int(os.environ.get('LATENTAUGMENT_N_IMGS', 10000))
 
 
 def main():

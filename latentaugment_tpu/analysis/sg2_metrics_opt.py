@@ -61,7 +61,7 @@ def dump_imgs(trial, n_imgs=10000, argv=None):
     return opt
 
 
-def calc_pr(opt, metrics_name=None, keep_dumps=False):
+def calc_pr(opt, metrics_name=None, keep_dumps=False, eval_split="val"):
     """Score the dumped augmented set; returns (precision, recall) averaged
     over modalities; deletes the dump dir unless keep_dumps."""
     import json
@@ -74,7 +74,7 @@ def calc_pr(opt, metrics_name=None, keep_dumps=False):
     dataset_kwargs = dict(
         path=os.path.join(opt.interim_dir, opt.dataset_aug,
                           opt.dataset_name_aug + ".zip"),
-        split="val", modalities=modalities, resolution=opt.img_resolution)
+        split=eval_split, modalities=modalities, resolution=opt.img_resolution)
     dataset_kwargs_gen = dict(dataroot=synthetic_dir, aug_name=opt.name,
                               batch_size=opt.batch_size)
 
@@ -108,9 +108,9 @@ def objective(trial, n_imgs=10000, argv=None):
     return 2 * (precision * recall) / max(precision + recall, 1e-12)
 
 
-def objective_recall(trial, n_imgs=10000, argv=None):
+def objective_recall(trial, n_imgs=10000, argv=None, eval_split="val"):
     opt = dump_imgs(trial, n_imgs=n_imgs, argv=argv)
-    _, recall = calc_pr(opt)
+    _, recall = calc_pr(opt, eval_split=eval_split)
     return recall
 
 
