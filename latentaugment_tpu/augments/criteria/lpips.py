@@ -26,6 +26,25 @@ def _normalize_act(a, eps=1e-10):
     return a * jax.lax.rsqrt(jnp.sum(jnp.square(a), axis=1, keepdims=True) + eps)
 
 
+def embedding_from_params(vgg_params, lin, x, target_layers=None):
+    """Pure-function form of LPIPS.embedding (jit/walk-friendly).
+
+    x in [-1, 1], [N, 3, H, W]; lin: {tap: [C]} weights pytree.
+    """
+    target_layers = list(target_layers or DEFAULT_TARGET_LAYERS)
+    xs = (x + 1.0) * 127.5
+    acts = vgg.vgg_features(vgg_params, xs, taps=target_layers)
+    outs = []
+    n = x.shape[0]
+    for tap in target_layers:
+        fx = _normalize_act(acts[tap].astype(jnp.float32))
+        w = jnp.maximum(lin[tap], 0.0)[None, :, None, None]
+        hw = fx.shape[2] * fx.shape[3]
+        a = fx * jnp.sqrt(w) / jnp.sqrt(float(hw))
+        outs.append(a.reshape(n, -1))
+    return jnp.concatenate(outs, axis=1)
+
+
 class LPIPS:
     """Learned perceptual distance over a VGG16 layer subset.
 
@@ -73,6 +92,14 @@ class LPIPS:
         return total
 
     __call__ = forward
+
+    def embedding(self, x):
+        """Per-image embedding whose squared-L2 equals the LPIPS distance
+        over this criterion's layer subset — the analogue of
+        vgg.lpips_features for the local-LPIPS variant, used by the
+        engine's `--lpips_script lpips_tr` path. x in [-1, 1], [N,3,H,W]."""
+        return embedding_from_params(self.params, self.lin, jnp.asarray(x),
+                                     self.target_layers)
 
     def forward_tr(self, x, feat):
         """Mean distance of batch x to a *manifold* of precomputed feature

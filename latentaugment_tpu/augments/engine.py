@@ -45,7 +45,7 @@ ADAM_EPS = 1e-8
 
 
 def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
-                X_cc_summaries=None, fea_summaries=None):
+                X_cc_summaries=None, fea_summaries=None, lpips_lin=None):
     """Pack all device state into one pytree, passed as an ARGUMENT to the
     jitted functions. Closing over multi-hundred-MB params would bake them
     into the HLO as literals (bloating compiles and breaking remote-compile
@@ -54,6 +54,7 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
         "g": g_params,
         "d": d_params,
         "vgg": vgg_params,
+        "lpips_lin": lpips_lin,
         "W_summary": W_summary,
         "X_cc_summaries": X_cc_summaries,
         "fea_summaries": fea_summaries,
@@ -63,7 +64,7 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
 def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                   w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
-                  truncation_psi=1.0, remat=True):
+                  truncation_psi=1.0, remat=True, lpips_variant="script"):
     """Build the pure walk/ganrand/z_to_w/synthesize functions.
 
     Each returned fn takes a `bundle` (see make_bundle) as its first
@@ -122,8 +123,15 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
             x_crop = transform(x, crop_pos)
             acc = 0.0
             for m in modalities:
-                xm = jnp.repeat((x_crop[:, m:m + 1] + 1.0) * 127.5, 3, axis=1)
-                feats = vgg.lpips_features(bundle["vgg"], xm)
+                xm = jnp.repeat(x_crop[:, m:m + 1], 3, axis=1)
+                if lpips_variant == "script":
+                    feats = vgg.lpips_features(bundle["vgg"],
+                                               (xm + 1.0) * 127.5)
+                else:  # local LPIPS criterion embedding (forward_tr parity)
+                    from .criteria.lpips import embedding_from_params
+
+                    feats = embedding_from_params(bundle["vgg"],
+                                                  bundle["lpips_lin"], xm)
                 acc += w_lpips * losses.l2_mean_loss(
                     feats, fea_summaries[m][0], fea_summaries[m][1],
                     normalize=False)
@@ -227,9 +235,22 @@ class LatentAugEngine:
         self.num_ws = self.G_cfg.num_ws
 
         # LPIPS feature network (converted weights when cached; see vgg.py).
+        # 'lpips_script' uses the NVIDIA-style full-stack embedding; any
+        # other value selects the local LPIPS criterion's layer subset
+        # (parity: util_latent_aug.py:126-131 / calc_loss_lpips_tr).
         self.vgg_params = None
+        self.lpips_lin = None
+        self.lpips_variant = ("script" if self.lpips_script == "lpips_script"
+                              else "tr")
         if self.w_lpips > 0.0:
             self.vgg_params = vgg.get_vgg16(path=self._vgg_ckpt_path())
+            if self.lpips_variant == "tr":
+                from .criteria.lpips import DEFAULT_TARGET_LAYERS
+
+                self.lpips_lin = {
+                    t: jnp.asarray(self.vgg_params.get("lin", {}).get(
+                        t, jnp.ones((vgg.LPIPS_CHANNELS[t],))))
+                    for t in DEFAULT_TARGET_LAYERS}
 
         self.stats_loss = EasyDict()
         self.stats_time = EasyDict()
@@ -276,8 +297,8 @@ class LatentAugEngine:
             for mode_id, mode in enumerate(self.modalities):
                 stats = self.compute_stats(
                     img_dataset, "features_jit", cache_dir,
-                    cache_tag=f"{mode}-{opt.crop_size_aug}", step=opt.step_img,
-                    mode_id=mode_id)
+                    cache_tag=f"{mode}-{opt.crop_size_aug}-{self.lpips_variant}",
+                    step=opt.step_img, mode_id=mode_id)
                 fea = stats.get_all_jnp()  # [M, D]
                 self.fea_summaries.append(losses.manifold_summary(fea))
 
@@ -338,14 +359,15 @@ class LatentAugEngine:
             soft_aug=bool(self.soft_aug), alpha=float(self.alpha),
             truncation_psi=self.truncation_psi,
             # No-remat is ~27% faster and fits HBM with bf16 blocks on.
-            remat=(self.G_cfg.num_fp16_res == 0))
+            remat=(self.G_cfg.num_fp16_res == 0),
+            lpips_variant=self.lpips_variant)
         walk, ganrand = fns.walk, fns.ganrand
         z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
 
         self._bundle = make_bundle(
             self.G_params, self.D_params, self.vgg_params,
             W_summary=self.W_summary, X_cc_summaries=self.X_cc_summaries,
-            fea_summaries=self.fea_summaries)
+            fea_summaries=self.fea_summaries, lpips_lin=self.lpips_lin)
 
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
@@ -491,11 +513,20 @@ class LatentAugEngine:
                                            self.preprocess, params)
         x = transform(jnp.asarray(x))
         x = jnp.repeat(x, 3, axis=1)
-        return self._lpips_feat_jit(self.vgg_params, x)
+        if self.lpips_variant == "script":
+            return self._lpips_feat_jit(self.vgg_params, x)
+        return self._lpips_tr_feat_jit(self.vgg_params, self.lpips_lin,
+                                       x / 127.5 - 1.0)
 
     @functools.cached_property
     def _lpips_feat_jit(self):
         return jax.jit(lambda p, x: vgg.lpips_features(p, x))
+
+    @functools.cached_property
+    def _lpips_tr_feat_jit(self):
+        from .criteria.lpips import embedding_from_params
+
+        return jax.jit(lambda p, lin, x: embedding_from_params(p, lin, x))
 
 
 def define_latentaugment(module_name, phase, opt, save_dir, gpu_ids=None,

@@ -80,3 +80,25 @@ def test_num_fp16_res_runtime_knob(ws):
     # 32x32 test models force num_fp16_res=0 internally (res < 64), so the
     # knob must at least parse and run.
     assert np.isfinite(out32["A"]).all()
+
+
+def test_lpips_tr_variant(ws):
+    """--lpips_script other than 'lpips_script' selects the local LPIPS
+    criterion path (calc_loss_lpips_tr parity)."""
+    opt = AugOptions().parse(
+        argv=ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
+                           "--lpips_script", "lpips_tr",
+                           "--w_pix", "0.0", "--w_lpips", "1.0",
+                           "--w_latent", "0.0", "--w_disc", "0.0",
+                           "--verbose_log", "1"],
+        install_logger=False)
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    assert augment.latent_aug.lpips_variant == "tr"
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+    out = augment.get_output()
+    assert np.isfinite(out["A"]).all()
+    e0 = augment.latent_aug.stats_loss["epoch_0"]
+    assert np.isfinite(e0["loss_lpips"]) and e0["loss_lpips"] > 0
