@@ -10,7 +10,6 @@ buffers squeezed, `dlatent_avg` -> w_avg. Output feeds directly into
 networks.generator_apply / discriminator_apply.
 """
 
-import io
 import math
 import pickle
 

@@ -13,8 +13,7 @@ All tensors NCHW, weights OIHW ([out, in//groups, kh, kw]).
 import jax.numpy as jnp
 from jax import lax
 
-from .upfirdn2d import (_get_filter_size, _parse_padding,
-                        _upsample_zero_insert, upfirdn2d)
+from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
 
 
 def _conv2d_wrapper(x, w, stride=1, padding=(0, 0), groups=1, transpose=False,

@@ -1,19 +1,23 @@
 """Pad -> upsample -> FIR filter -> downsample for batches of 2D images.
 
 Parity: reference models/stylegan3/torch_utils/ops/upfirdn2d.py (CUDA
-kernel + torch ref). TPU-native design: the whole pipeline is ONE
-`lax.conv_general_dilated` call — `lhs_dilation` performs the zero
-insertion, the conv padding performs pad/crop (negative allowed), the
-depthwise FIR filter is applied per channel, and `window_strides`
-performs the downsampling. XLA lowers this to a fused depthwise conv on
-TPU and derives the backward pass automatically (the reference needed a
-hand-chained backward-as-forward autograd pair, upfirdn2d.py:217-275).
+kernel + torch ref). TPU-native design: zero-insertion upsampling is a
+reshape+pad, pad/crop is jnp.pad + slicing, the FIR filter is
+shift-and-add slice arithmetic on the VPU (`_fir_axis`), and the
+downsample is a strided slice — all fused by XLA, with the backward
+derived automatically (the reference needed a hand-chained
+backward-as-forward autograd pair, upfirdn2d.py:217-275).
 
-`impl='ref'` is a literal translation of the math for parity tests;
-`impl='xla'` (default) is the fused path.
+Depthwise (`feature_group_count=C`) or lhs-dilated convs are
+deliberately NOT used: on the current TPU toolchain their gradients
+cost ~400-550 s of compile time and up to 20x runtime vs dense convs
+(measured; see BENCH_NOTES.md).
+
+`impl='ref'` is a literal translation of the op definition (using
+depthwise convs, fine on CPU) kept for parity tests; `impl='xla'`
+(default) is the fast path.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
