@@ -87,11 +87,14 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1, impl='xl
     Args match the reference op (upfirdn2d.py:118-162): `padding` is
     [x0, x1, y0, y1] w.r.t. the upsampled image (negative = crop),
     flip_filter False = convolution / True = correlation, `gain` scales
-    the output magnitude.
+    the output magnitude. impl: 'xla' (shift-add, default), 'pallas'
+    (single-VMEM-residency fused kernel with custom VJP), or 'ref'.
     """
     assert x.ndim == 4
     if impl == 'ref':
         return _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain)
+    if impl == 'pallas':
+        return _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain)
     return _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain)
 
 
@@ -281,3 +284,119 @@ def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1, impl='xla')
     ]
     return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter,
                      gain=gain, impl=impl)
+
+
+# ----------------------------------------------------------------------------
+# Pallas fused kernel: the whole up/pad/FIR/down pipeline in one VMEM
+# residency per channel tile (the XLA path round-trips HBM once per FIR
+# axis). Separable filters only; backward implemented with the
+# backward-as-forward parameter transform of the reference
+# (upfirdn2d.py:252-268) so gradients reuse the same kernel.
+
+import functools as _functools
+
+
+def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
+    """x3: [M, H, W] (batch*channels flattened). Static params."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    m, in_h, in_w = x3.shape
+    up_h = in_h * upy + pady0 + pady1
+    up_w = in_w * upx + padx0 + padx1
+    taps = int(f.shape[0])
+    out_h = -(-(up_h - taps + 1) // downy)
+    out_w = -(-(up_w - taps + 1) // downx)
+
+    fk = np.asarray(f, np.float32) * (float(gain) ** 0.5)
+    if not flip_filter:
+        fk = fk[::-1]
+    fk = tuple(float(v) for v in fk)
+
+    # Channel-tile size bounded by VMEM (~2 MB of fp32 intermediates/ch).
+    bytes_per_ch = (up_h * up_w + out_h * up_w + in_h * in_w) * 4
+    bc = max(1, min(m, (4 << 20) // max(bytes_per_ch, 1)))
+    while m % bc != 0:
+        bc -= 1
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[:].astype(jnp.float32)
+        # Zero-insert upsample.
+        if upx > 1 or upy > 1:
+            b, h, w = x.shape
+            x = x.reshape(b, h, 1, w, 1)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1)))
+            x = x.reshape(b, h * upy, w * upx)
+        # Pad / crop.
+        x = jnp.pad(x, ((0, 0),
+                        (max(pady0, 0), max(pady1, 0)),
+                        (max(padx0, 0), max(padx1, 0))))
+        x = x[:, max(-pady0, 0): x.shape[1] - max(-pady1, 0),
+              max(-padx0, 0): x.shape[2] - max(-padx1, 0)]
+        # FIR along W then H (shift-and-add, all in VMEM).
+        size_w = x.shape[2] - taps + 1
+        acc = None
+        for i in range(taps):
+            term = x[:, :, i:i + size_w] * fk[i]
+            acc = term if acc is None else acc + term
+        x = acc
+        size_h = x.shape[1] - taps + 1
+        acc = None
+        for i in range(taps):
+            term = x[:, i:i + size_h, :] * fk[i]
+            acc = term if acc is None else acc + term
+        x = acc
+        o_ref[:] = x[:, ::downy, ::downx].astype(o_ref.dtype)
+
+    interpret = jax.default_backend() != 'tpu'
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, out_h, out_w), x3.dtype),
+        grid=(m // bc,),
+        in_specs=[pl.BlockSpec((bc, in_h, in_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bc, out_h, out_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x3)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain):
+    assert f is not None and f.ndim == 1, \
+        "pallas impl supports separable (1-D) filters"
+    n, c, h, w = x.shape
+    y = _upfirdn2d_pallas_call(x.reshape(n * c, h, w), f, up, down, padding,
+                               flip_filter, gain)
+    return y.reshape(n, c, y.shape[1], y.shape[2])
+
+
+def _upfirdn2d_pallas_fwd(x, f, up, down, padding, flip_filter, gain):
+    y = _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain)
+    return y, (f, x.shape, y.shape)
+
+
+def _upfirdn2d_pallas_bwd(up, down, padding, flip_filter, gain, res, dy):
+    """Backward-as-forward (parity: reference upfirdn2d.py:252-268)."""
+    f, x_shape, y_shape = res
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    fw = fh = int(f.shape[0])
+    _, _, ih, iw = x_shape
+    _, _, oh, ow = y_shape
+    p = [
+        fw - padx0 - 1,
+        iw * upx - ow * downx + padx0 - upx + 1,
+        fh - pady0 - 1,
+        ih * upy - oh * downy + pady0 - upy + 1,
+    ]
+    dx = _upfirdn2d_pallas_op(dy, f, (downx, downy), (upx, upy), p,
+                              not flip_filter, gain)
+    return dx, None
+
+
+_upfirdn2d_pallas_op.defvjp(_upfirdn2d_pallas_fwd, _upfirdn2d_pallas_bwd)

@@ -195,3 +195,43 @@ def test_modulated_conv_demod_unit_norm():
     # std of output should be close to std of input (demod normalizes).
     ratio = float(jnp.std(out) / jnp.std(x))
     assert 0.5 < ratio < 2.0
+
+
+# ----------------------------------------------------------------------------
+# Pallas fused upfirdn (interpret mode on CPU)
+
+@pytest.mark.parametrize("case", [
+    dict(up=1, down=1, padding=(2, 1, 2, 1)),
+    dict(up=2, down=1, padding=(2, 1, 2, 1)),
+    dict(up=1, down=2, padding=(1, 1, 1, 1)),
+    dict(up=2, down=2, padding=(2, 2, 2, 2)),
+])
+def test_upfirdn2d_pallas_matches_xla(case):
+    import jax.numpy as jnp2
+
+    x = jnp.asarray(rand(2, 3, 8, 8))
+    f = setup_filter([1, 3, 3, 1], separable=True)
+    a = upfirdn2d(x, f, gain=4, impl="pallas", **case)
+    b = upfirdn2d(x, f, gain=4, impl="xla", **case)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_upfirdn2d_pallas_gradient():
+    import jax
+
+    x = jnp.asarray(rand(1, 2, 8, 8))
+    f = setup_filter([1, 3, 3, 1], separable=True)
+
+    def loss_p(x):
+        return jnp.sum(jnp.square(upfirdn2d(x, f, up=2, padding=(2, 1, 2, 1),
+                                            gain=4, impl="pallas")))
+
+    def loss_x(x):
+        return jnp.sum(jnp.square(upfirdn2d(x, f, up=2, padding=(2, 1, 2, 1),
+                                            gain=4, impl="xla")))
+
+    gp = jax.grad(loss_p)(x)
+    gx = jax.grad(loss_x)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4,
+                               atol=1e-5)
