@@ -311,10 +311,11 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
     out_h = -(-(up_h - taps + 1) // downy)
     out_w = -(-(up_w - taps + 1) // downx)
 
-    fk = np.asarray(f, np.float32) * (float(gain) ** 0.5)
+    # Prepare the tap vector outside (traced-safe); the kernel reads the
+    # scalars from SMEM.
+    fk = (f.astype(jnp.float32) * (float(gain) ** 0.5))
     if not flip_filter:
         fk = fk[::-1]
-    fk = tuple(float(v) for v in fk)
 
     # Channel-tile size bounded by VMEM (~2 MB of fp32 intermediates/ch).
     bytes_per_ch = (up_h * up_w + out_h * up_w + in_h * in_w) * 4
@@ -322,7 +323,7 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
     while m % bc != 0:
         bc -= 1
 
-    def kernel(x_ref, o_ref):
+    def kernel(f_ref, x_ref, o_ref):
         x = x_ref[:].astype(jnp.float32)
         # Zero-insert upsample.
         if upx > 1 or upy > 1:
@@ -340,13 +341,13 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
         size_w = x.shape[2] - taps + 1
         acc = None
         for i in range(taps):
-            term = x[:, :, i:i + size_w] * fk[i]
+            term = x[:, :, i:i + size_w] * f_ref[i]
             acc = term if acc is None else acc + term
         x = acc
         size_h = x.shape[1] - taps + 1
         acc = None
         for i in range(taps):
-            term = x[:, i:i + size_h, :] * fk[i]
+            term = x[:, i:i + size_h, :] * f_ref[i]
             acc = term if acc is None else acc + term
         x = acc
         o_ref[:] = x[:, ::downy, ::downx].astype(o_ref.dtype)
@@ -356,12 +357,15 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, out_h, out_w), x3.dtype),
         grid=(m // bc,),
-        in_specs=[pl.BlockSpec((bc, in_h, in_w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bc, in_h, in_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((bc, out_h, out_w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x3)
+    )(fk, x3)
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
