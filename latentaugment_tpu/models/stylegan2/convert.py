@@ -276,6 +276,49 @@ def save_checkpoint(path, g_params=None, g_cfg=None, d_params=None, d_cfg=None):
         pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
 
 
+def save_checkpoint_orbax(path, g_params=None, g_cfg=None, d_params=None,
+                          d_cfg=None):
+    """Orbax variant of save_checkpoint (async-capable, production-grade).
+
+    Stores the param trees under an Orbax PyTree checkpoint directory with
+    a sidecar cfg json; load with load_checkpoint_orbax.
+    """
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    tree = {}
+    cfgs = {}
+    if g_params is not None:
+        tree["G"] = g_params
+        cfgs["G"] = _cfg_kwargs(g_cfg, kind="G")
+    if d_params is not None:
+        tree["D"] = d_params
+        cfgs["D"] = _cfg_kwargs(d_cfg, kind="D")
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+    with open(os.path.join(path, "configs.json"), "w") as f:
+        json.dump(cfgs, f, indent=2)
+
+
+def load_checkpoint_orbax(path):
+    """Returns (G_params, G_cfg, D_params, D_cfg) from an Orbax dir."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    with open(os.path.join(path, "configs.json")) as f:
+        cfgs = json.load(f)
+    g_cfg = networks.generator_config(**cfgs["G"]) if "G" in cfgs else None
+    d_cfg = networks.discriminator_config(**cfgs["D"]) if "D" in cfgs else None
+    return tree.get("G"), g_cfg, tree.get("D"), d_cfg
+
+
 def _cfg_kwargs(cfg, kind):
     if kind == "G":
         keys = ("z_dim", "c_dim", "w_dim", "img_resolution", "img_channels",

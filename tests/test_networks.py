@@ -221,3 +221,16 @@ class _Reconstructable:
         import torch_utils.persistence as tp  # the fake module injected above
 
         return (tp._reconstruct_persistent_obj, (self.meta,))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, tiny_g):
+    pytest.importorskip("orbax.checkpoint")
+    g_params, g_cfg = tiny_g
+    path = str(tmp_path / "orbax_ckpt")
+    convert.save_checkpoint_orbax(path, g_params, g_cfg)
+    g2, gc2, d2, dc2 = convert.load_checkpoint_orbax(path)
+    assert gc2.num_ws == g_cfg.num_ws
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, g_cfg.z_dim))
+    img1 = networks.generator_apply(g_params, g_cfg, z)
+    img2 = networks.generator_apply(g2, gc2, z)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)
