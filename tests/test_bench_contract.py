@@ -1,0 +1,68 @@
+"""Driver-interface contracts: bench.py emits one JSON line; detector
+weight converters map correctly."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_cpu_smoke():
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                         capture_output=True, text=True, timeout=540)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+
+
+def test_inception_torchvision_mapping():
+    """convert_torchvision_state must place conv/bn leaves at the right
+    tree paths (verified by shape + value round-trip)."""
+    import jax.numpy as jnp
+
+    from latentaugment_tpu.models import inception
+
+    tree = inception.init_inception(seed=0)
+    fake_state = {
+        "Conv2d_1a_3x3.conv.weight": np.full((32, 3, 3, 3), 2.0, np.float32),
+        "Conv2d_1a_3x3.bn.weight": np.full((32,), 3.0, np.float32),
+        "Mixed_5b.branch1x1.conv.weight": np.full((64, 192, 1, 1), 4.0,
+                                                  np.float32),
+        "fc.weight": np.zeros((1000, 2048), np.float32),  # must be ignored
+        "AuxLogits.fc.weight": np.zeros((10, 768), np.float32),  # ignored
+    }
+    out = inception.convert_torchvision_state(fake_state)
+    np.testing.assert_allclose(
+        np.asarray(out["Conv2d_1a_3x3"]["conv"]["weight"]), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(out["Conv2d_1a_3x3"]["bn"]["weight"]), 3.0)
+    np.testing.assert_allclose(
+        np.asarray(out["Mixed_5b"]["branch1x1"]["conv"]["weight"]), 4.0)
+    assert "fc" not in out
+    # Untouched leaves keep their init shapes.
+    assert out["Mixed_7c"]["branch_pool"]["conv"]["weight"].shape == \
+        tree["Mixed_7c"]["branch_pool"]["conv"]["weight"].shape
+
+
+def test_inception_features_shape():
+    import jax
+
+    from latentaugment_tpu.models import inception
+
+    params = inception.init_inception(seed=1)
+    x = jax.numpy.asarray(np.random.RandomState(0).rand(2, 3, 64, 64)
+                          .astype(np.float32) * 255)
+    feats = inception.inception_features(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(np.asarray(feats)).all()
