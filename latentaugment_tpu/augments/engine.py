@@ -406,6 +406,10 @@ class LatentAugEngine:
 
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
+            n_dev = self.mesh.devices.size
+            assert w.shape[0] % n_dev == 0, (
+                f"batch {w.shape[0]} must divide the {n_dev}-device mesh "
+                f"(pad with parallel.pad_to_multiple or adjust batch_size)")
             w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
 
         tick = time.time()
