@@ -227,6 +227,14 @@ class LatentAugEngine:
         self.soft_aug = opt.soft_aug
         self.alpha = opt.alpha
         self.verbose_log = opt.verbose_log
+        # Seeded crop-draw stream (the reference used the global python
+        # random module; a private seeded stream keeps runs reproducible).
+        import random as _random
+
+        self._crop_rng = _random.Random(getattr(opt, "seed", 42) + 1)
+        # Separate stream for manifold-build crops so a stat-cache hit
+        # (which skips extraction) doesn't desync the forward crop stream.
+        self._manifold_rng = _random.Random(getattr(opt, "seed", 42) + 2)
 
         # Load Generator and Discriminator.
         self.G_params, self.G_cfg, self.D_params, self.D_cfg = self.load_stylegan()
@@ -272,8 +280,10 @@ class LatentAugEngine:
         if self.w_latent > 0.0:
             stats = self.compute_stats(self.stats_dataset_w, "latent", cache_dir,
                                        step=opt.step_w)
-            self.W = stats.get_all_jnp()
-            self.W_summary = losses.manifold_summary(self.W)
+            # Keep the raw manifold host-side; only its summary lives on
+            # device (the walk needs nothing else — losses.py).
+            self.W = stats.get_all()
+            self.W_summary = losses.manifold_summary(jnp.asarray(self.W))
 
         img_dataset = None
         if self.w_pix > 0.0 or self.w_lpips > 0.0:
@@ -285,8 +295,8 @@ class LatentAugEngine:
         if self.w_pix > 0.0:
             stats = self.compute_stats(img_dataset, "img", cache_dir,
                                        step=opt.step_img)
-            self.X = stats.get_all_jnp()  # [M, modes, res, res] in [-1, 1]
-            x_cc = manifold.center_crop(self.X, self.res)
+            self.X = stats.get_all()  # [M, modes, res, res] in [-1, 1], host
+            x_cc = manifold.center_crop(jnp.asarray(self.X), self.res)
             self.X_cc_summaries = [
                 losses.manifold_summary(x_cc[:, m:m + 1])
                 for m in range(len(self.modalities))
@@ -401,7 +411,8 @@ class LatentAugEngine:
         if w.ndim == 2:
             w = self._z_to_w(self._bundle, w)
 
-        params = manifold.get_params(self.res, self.crop_size, self.preprocess)
+        params = manifold.get_params(self.res, self.crop_size, self.preprocess,
+                                     rng=self._crop_rng)
         crop_pos = jnp.asarray(params["crop_pos"], dtype=jnp.int32)
 
         if self.mesh is not None:
@@ -512,7 +523,8 @@ class LatentAugEngine:
     def _extract_features(self, img, mode_id):
         """LPIPS embedding of one [modes, H, W] raw [0,255] image crop."""
         x = np.asarray(img, dtype=np.float32)[mode_id][None, None]  # [1,1,H,W]
-        params = manifold.get_params(self.res, self.crop_size, self.preprocess)
+        params = manifold.get_params(self.res, self.crop_size, self.preprocess,
+                                     rng=self._manifold_rng)
         transform = manifold.get_transform(self.res, self.crop_size,
                                            self.preprocess, params)
         x = transform(jnp.asarray(x))

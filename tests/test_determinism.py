@@ -19,7 +19,7 @@ def _run_once(ws, seed, name):
     opt = AugOptions().parse(
         argv=ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
                            "--seed", str(seed), "--name", name,
-                           "--w_pix", "0.1", "--w_lpips", "0.0",
+                           "--w_pix", "0.1", "--w_lpips", "0.5",
                            "--w_latent", "0.001", "--w_disc", "0.01"],
         install_logger=False)
     dataset = create_dataset(opt)
