@@ -297,13 +297,26 @@ import functools as _functools
 
 
 def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
-    """x3: [M, H, W] (batch*channels flattened). Static params."""
+    """x3: [M, H, W] (batch*channels flattened). Static params.
+
+    Zero-insertion upsampling happens OUTSIDE the kernel (Mosaic cannot
+    lower the interleaving reshape); pad + both FIR axes + downsample
+    run fused in one VMEM residency.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
+
+    if upx > 1 or upy > 1:
+        m0, h0, w0 = x3.shape
+        x4 = x3.reshape(m0, h0, 1, w0, 1)
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1)))
+        x3 = x4.reshape(m0, h0 * upy, w0 * upx)
+        upx = upy = 1
+
     m, in_h, in_w = x3.shape
     up_h = in_h * upy + pady0 + pady1
     up_w = in_w * upx + padx0 + padx1
@@ -317,20 +330,17 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
     if not flip_filter:
         fk = fk[::-1]
 
-    # Channel-tile size bounded by VMEM (~2 MB of fp32 intermediates/ch).
-    bytes_per_ch = (up_h * up_w + out_h * up_w + in_h * in_w) * 4
-    bc = max(1, min(m, (4 << 20) // max(bytes_per_ch, 1)))
+    # Channel-tile size bounded by VMEM. Mosaic double-buffers the in/out
+    # blocks and keeps several fp32 intermediates live (zero-inserted,
+    # padded, per-axis FIR outputs), so budget conservatively.
+    bytes_per_ch = (3 * up_h * up_w + out_h * up_w + 2 * in_h * in_w
+                    + 2 * out_h * out_w) * 4
+    bc = max(1, min(m, (10 << 20) // max(bytes_per_ch, 1)))
     while m % bc != 0:
         bc -= 1
 
     def kernel(f_ref, x_ref, o_ref):
         x = x_ref[:].astype(jnp.float32)
-        # Zero-insert upsample.
-        if upx > 1 or upy > 1:
-            b, h, w = x.shape
-            x = x.reshape(b, h, 1, w, 1)
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1)))
-            x = x.reshape(b, h * upy, w * upx)
         # Pad / crop.
         x = jnp.pad(x, ((0, 0),
                         (max(pady0, 0), max(pady1, 0)),
