@@ -21,16 +21,24 @@ from ..utils.util_easydict import EasyDict
 # Activation table. `def_gain` is the default output gain used by the
 # StyleGAN networks (sqrt(2) for the rectifiers), matching the reference
 # `activation_funcs` dict (bias_act.py:21-31).
+#
+# def_gain must be a Python float, NOT a jnp value: module scope runs at
+# import time, and creating a jnp array there initializes the default JAX
+# backend before callers (tests, the driver's dryrun) get a chance to
+# force the CPU platform — which kills import entirely when the remote
+# TPU backend is unreachable (round-1 MULTICHIP failure).
+_SQRT2 = 1.4142135623730951
+
 activation_funcs = {
     'linear':   EasyDict(func=lambda x: x,                                  def_alpha=0.0, def_gain=1.0),
-    'relu':     EasyDict(func=lambda x: jax.nn.relu(x),                     def_alpha=0.0, def_gain=jnp.sqrt(2.0)),
-    'lrelu':    EasyDict(func=lambda x, alpha: jax.nn.leaky_relu(x, alpha), def_alpha=0.2, def_gain=jnp.sqrt(2.0)),
+    'relu':     EasyDict(func=lambda x: jax.nn.relu(x),                     def_alpha=0.0, def_gain=_SQRT2),
+    'lrelu':    EasyDict(func=lambda x, alpha: jax.nn.leaky_relu(x, alpha), def_alpha=0.2, def_gain=_SQRT2),
     'tanh':     EasyDict(func=lambda x: jnp.tanh(x),                        def_alpha=0.0, def_gain=1.0),
     'sigmoid':  EasyDict(func=lambda x: jax.nn.sigmoid(x),                  def_alpha=0.0, def_gain=1.0),
     'elu':      EasyDict(func=lambda x: jax.nn.elu(x),                      def_alpha=0.0, def_gain=1.0),
     'selu':     EasyDict(func=lambda x: jax.nn.selu(x),                     def_alpha=0.0, def_gain=1.0),
     'softplus': EasyDict(func=lambda x: jax.nn.softplus(x),                 def_alpha=0.0, def_gain=1.0),
-    'swish':    EasyDict(func=lambda x: jax.nn.swish(x),                    def_alpha=0.0, def_gain=jnp.sqrt(2.0)),
+    'swish':    EasyDict(func=lambda x: jax.nn.swish(x),                    def_alpha=0.0, def_gain=_SQRT2),
 }
 
 

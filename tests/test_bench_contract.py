@@ -22,8 +22,10 @@ def test_bench_cpu_smoke():
     lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, res.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "batch",
+                        "oom_fallback"}
     assert rec["value"] > 0
+    assert rec["oom_fallback"] is False
 
 
 def test_inception_torchvision_mapping():
