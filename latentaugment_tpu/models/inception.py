@@ -273,26 +273,49 @@ def inception_features(params, x):
 # ----------------------------------------------------------------------------
 # Weight IO
 
-def convert_torchvision_state(state_dict, out_path=None):
-    """Map a torchvision inception_v3 state_dict onto our param tree."""
+def convert_torchvision_state(state_dict, out_path=None, strict=False):
+    """Map a torchvision inception_v3 state_dict onto our param tree.
+
+    strict=True raises if any state key (other than the classifier heads
+    we deliberately drop) fails to land on a tree leaf, or if a shape
+    mismatches — so a renamed block or a transposed weight cannot slip
+    through silently.
+    """
     tree = init_inception(jax.random.PRNGKey(0))
 
-    def set_leaf(path, arr):
+    def set_leaf(name, path, arr):
         node = tree
         for k in path[:-1]:
+            if not isinstance(node, dict) or k not in node:
+                if strict:
+                    raise KeyError(f"torchvision key {name!r} has no slot in "
+                                   f"the param tree (missing {k!r})")
+                return
             node = node[k]
-        node[path[-1]] = jnp.asarray(np.asarray(arr, np.float32))
+        leaf = path[-1]
+        if leaf not in node:
+            if strict:
+                raise KeyError(f"torchvision key {name!r}: no leaf {leaf!r}")
+            return
+        arr = np.asarray(arr, np.float32)
+        if tuple(node[leaf].shape) != tuple(arr.shape):
+            raise ValueError(
+                f"shape mismatch for {name!r}: tree {tuple(node[leaf].shape)} "
+                f"vs state {tuple(arr.shape)}")
+        node[leaf] = jnp.asarray(arr)
 
     for name, tensor in state_dict.items():
         parts = name.split(".")
         if parts[0] in ("AuxLogits", "fc"):
             continue
+        if parts[-1] == "num_batches_tracked":
+            continue  # bn bookkeeping scalar, unused in inference
         # torchvision: <Block>.<branch>.conv.weight / .bn.{weight,bias,running_*}
         arr = tensor.detach().numpy() if hasattr(tensor, "detach") else tensor
-        if len(parts) == 3:  # Conv2d_1a_3x3.conv.weight
-            set_leaf((parts[0], parts[1], parts[2]), arr)
-        elif len(parts) == 4:  # Mixed_5b.branch1x1.conv.weight
-            set_leaf((parts[0], parts[1], parts[2], parts[3]), arr)
+        if len(parts) in (3, 4):
+            set_leaf(name, tuple(parts), arr)
+        elif strict:
+            raise KeyError(f"unrecognized torchvision key {name!r}")
     if out_path:
         with open(out_path, "wb") as f:
             pickle.dump(jax.tree_util.tree_map(lambda a: np.asarray(a), tree), f,

@@ -37,33 +37,113 @@ def _reconstruct_stub(meta):
     return _PersistencePayload(meta)
 
 
-class _RestrictedUnpickler(pickle.Unpickler):
-    """Allow tensor/state reconstruction; forbid arbitrary code objects."""
+def _safe_load_from_bytes(b):
+    """torch.storage._load_from_bytes with weights_only forced on.
 
-    _ALLOWED_PREFIXES = (
-        "torch.", "torch_utils.", "numpy.", "numpy", "collections.",
-        "builtins.",
-    )
+    The stock helper delegates to torch.load; forcing weights_only=True
+    guarantees the nested stream cannot smuggle arbitrary reduce calls
+    even on torch versions where the default is False.
+    """
+    import torch
+
+    try:
+        return torch.load(io.BytesIO(b), weights_only=True)
+    except TypeError:  # very old torch without the kwarg
+        return torch.storage._load_from_bytes(b)
+
+
+def _allowed_globals():
+    """Exact-name allowlist of reconstruction callables.
+
+    Only the callables a tensor/ndarray/state-dict pickle actually needs
+    (measured via pickletools on real torch/numpy pickles). Notably: no
+    builtins.*, no wildcard torch.* — find_class('builtins','eval') must
+    fail (round-1 ADVICE high: the old prefix allowlist was exploitable).
+    """
+    import codecs
+    import collections
+
+    table = {
+        ("collections", "OrderedDict"): collections.OrderedDict,
+        ("_codecs", "encode"): codecs.encode,
+        # Protocol-2 pickles of set/frozenset reference them by name
+        # (py2-era alias '__builtin__' included). Plain constructors only.
+        ("builtins", "set"): set,
+        ("builtins", "frozenset"): frozenset,
+        ("__builtin__", "set"): set,
+        ("__builtin__", "frozenset"): frozenset,
+    }
+    try:
+        import numpy as _np
+
+        for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+            try:
+                import importlib
+
+                m = importlib.import_module(mod)
+            except ImportError:
+                continue
+            table[(mod, "_reconstruct")] = m._reconstruct
+            table[(mod, "scalar")] = m.scalar
+        for mod in ("numpy.core.numeric", "numpy._core.numeric"):
+            try:
+                import importlib
+
+                m = importlib.import_module(mod)
+                # protocol-5 ndarray reconstruction (safe constructor).
+                table[(mod, "_frombuffer")] = m._frombuffer
+            except (ImportError, AttributeError):
+                pass
+        table[("numpy", "ndarray")] = _np.ndarray
+        table[("numpy", "dtype")] = _np.dtype
+    except ImportError:
+        pass
+    try:
+        import torch
+
+        table[("torch._utils", "_rebuild_tensor")] = torch._utils._rebuild_tensor
+        table[("torch._utils", "_rebuild_tensor_v2")] = \
+            torch._utils._rebuild_tensor_v2
+        table[("torch._utils", "_rebuild_parameter")] = \
+            torch._utils._rebuild_parameter
+        table[("torch.storage", "_load_from_bytes")] = _safe_load_from_bytes
+        table[("torch", "Size")] = torch.Size
+        table[("torch", "device")] = torch.device
+        for st in ("FloatStorage", "HalfStorage", "DoubleStorage", "IntStorage",
+                   "LongStorage", "ShortStorage", "CharStorage", "ByteStorage",
+                   "BoolStorage", "BFloat16Storage", "UntypedStorage"):
+            if hasattr(torch, st):
+                table[("torch", st)] = getattr(torch, st)
+    except ImportError:
+        pass
+    return table
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Allow tensor/state reconstruction; forbid everything else.
+
+    Exact-name allowlist (no prefix matching, no builtins namespace):
+    a crafted pickle referencing any other callable raises
+    UnpicklingError instead of executing it.
+    """
 
     def find_class(self, module, name):
-        full = f"{module}.{name}"
         if module == "torch_utils.persistence" and name == "_reconstruct_persistent_obj":
             return _reconstruct_stub
-        if module.startswith("torch_utils"):
-            # Any other torch_utils symbol (e.g. EasyDict inside metadata).
+        if module.startswith("torch_utils."):
+            # Persistence metadata symbols (EasyDict in meta dicts). Never
+            # resolve real torch_utils code — return inert substitutes.
             if name == "EasyDict":
                 return EasyDict
             return _reconstruct_stub
-        if module == "dnnlib.util" and name == "EasyDict":
+        if module == "dnnlib" or module.startswith("dnnlib."):
             return EasyDict
-        if module.startswith("dnnlib"):
-            return EasyDict
-        if any(full.startswith(p) or module == p.rstrip(".") for p in self._ALLOWED_PREFIXES):
-            import importlib
-
-            mod = importlib.import_module(module)
-            return getattr(mod, name)
-        raise pickle.UnpicklingError(f"Blocked unpickle of {full}")
+        fn = _allowed_globals().get((module, name))
+        if fn is None:
+            raise pickle.UnpicklingError(
+                f"Blocked unpickle of {module}.{name} — not in the exact-name "
+                "allowlist of tensor-reconstruction callables")
+        return fn
 
 
 def load_network_pickle(path_or_file):
@@ -104,31 +184,65 @@ def payload_state_dict(payload):
                 visit(name, v)
 
     # torch nn.Module __getstate__ is its __dict__, with _parameters/_buffers/
-    # _modules nesting; flatten those transparently.
+    # _modules nesting; flatten those transparently. In real NVIDIA pickles
+    # every SG2 layer class is @persistent_class-decorated, so _modules
+    # values arrive as nested _PersistencePayload metas whose module dict
+    # lives under ['state'] — unwrap before recursing.
+    def module_dict(obj):
+        if isinstance(obj, _PersistencePayload):
+            st = obj.get("state", obj)
+            return st if isinstance(st, dict) else getattr(st, "__dict__", {})
+        if isinstance(obj, dict):
+            return obj
+        return getattr(obj, "__dict__", {})
+
     def visit_module(prefix, d):
         for bucket in ("_parameters", "_buffers"):
-            for k, v in d.get(bucket, {}).items():
+            for k, v in (d.get(bucket) or {}).items():
                 if v is not None:
                     flat[(f"{prefix}.{k}" if prefix else k)] = _tensor_to_np(v)
-        for k, sub in d.get("_modules", {}).items():
+        for k, sub in (d.get("_modules") or {}).items():
             if sub is None:
                 continue
-            sub_d = sub.__dict__ if not isinstance(sub, dict) else sub
-            visit_module(f"{prefix}.{k}" if prefix else k, sub_d)
+            visit_module(f"{prefix}.{k}" if prefix else k, module_dict(sub))
 
-    if isinstance(state, dict) and "_modules" in state:
-        visit_module("", state)
+    state_d = module_dict(state) if isinstance(state, (_PersistencePayload,)) \
+        else state
+    if isinstance(state_d, dict) and "_modules" in state_d:
+        visit_module("", state_d)
     else:
         visit("", state)
     return flat
 
 
+def _payload_init_kwargs(payload):
+    """Init kwargs from a persistence payload.
+
+    Real NVIDIA meta (persistence.py:119-126) stores them on the instance
+    as state['_init_kwargs'] (the Decorator's __init__ captures them);
+    plain attributes (z_dim, img_resolution, ...) also live in state.
+    Synthetic/simplified payloads may carry a top-level 'init_kwargs'.
+    """
+    kwargs = EasyDict()
+    state = payload.get("state") if isinstance(payload, dict) else None
+    if isinstance(state, dict):
+        # Instance attributes first (authoritative for the constructed net),
+        # then explicit init kwargs override.
+        for key in ("z_dim", "c_dim", "w_dim", "img_resolution",
+                    "img_channels"):
+            if key in state:
+                kwargs[key] = state[key]
+        ik = state.get("_init_kwargs")
+        if isinstance(ik, dict):
+            kwargs.update(ik)
+    if "init_kwargs" in payload:
+        kwargs.update(payload["init_kwargs"])
+    return kwargs
+
+
 def infer_generator_config(payload, img_resolution=None, img_channels=None):
     """Build our generator_config from persistence init kwargs (or overrides)."""
-    kwargs = EasyDict()
-    for key in ("init_kwargs",):
-        if key in payload:
-            kwargs.update(payload[key])
+    kwargs = _payload_init_kwargs(payload)
     syn = kwargs.get("synthesis_kwargs", {}) or {}
     mapping = kwargs.get("mapping_kwargs", {}) or {}
     return networks.generator_config(
@@ -146,10 +260,9 @@ def infer_generator_config(payload, img_resolution=None, img_channels=None):
 
 
 def infer_discriminator_config(payload, img_resolution=None, img_channels=None):
-    kwargs = EasyDict()
-    if "init_kwargs" in payload:
-        kwargs.update(payload["init_kwargs"])
+    kwargs = _payload_init_kwargs(payload)
     block = kwargs.get("block_kwargs", {}) or {}
+    epilogue = kwargs.get("epilogue_kwargs", {}) or {}
     return networks.discriminator_config(
         c_dim=kwargs.get("c_dim", 0),
         img_resolution=img_resolution or kwargs.get("img_resolution", 256),
@@ -157,6 +270,10 @@ def infer_discriminator_config(payload, img_resolution=None, img_channels=None):
         channel_base=kwargs.get("channel_base", 32768),
         channel_max=kwargs.get("channel_max", 512),
         conv_clamp=block.get("conv_clamp", kwargs.get("conv_clamp", 256)),
+        mbstd_group_size=epilogue.get(
+            "mbstd_group_size", kwargs.get("mbstd_group_size", 4)) or 4,
+        mbstd_num_channels=epilogue.get(
+            "mbstd_num_channels", kwargs.get("mbstd_num_channels", 1)),
     )
 
 

@@ -27,22 +27,27 @@ class TFNetworkStub(EasyDict):
 
 
 class _LegacyUnpickler(pickle.Unpickler):
-    _ALLOWED = ("numpy", "collections", "builtins")
+    """Exact-name allowlist unpickler for TF-era pickles.
+
+    TF pickles only need numpy array reconstruction plus the dnnlib
+    Network stubs; torch tensors appear in mixed modern pickles fed to
+    the same CLI. No builtins namespace, no wildcard module lookups —
+    find_class('builtins','eval') must raise (round-1 ADVICE high).
+    """
 
     def find_class(self, module, name):
         if module == "dnnlib.tflib.network" and name == "Network":
             return TFNetworkStub
-        if module.startswith("dnnlib"):
+        if module == "dnnlib" or module.startswith("dnnlib."):
             return EasyDict
-        if any(module == p or module.startswith(p + ".") for p in self._ALLOWED):
-            import importlib
+        from .convert import _allowed_globals
 
-            return getattr(importlib.import_module(module), name)
-        if module.startswith("torch"):
-            import importlib
-
-            return getattr(importlib.import_module(module), name)
-        raise pickle.UnpicklingError(f"Blocked unpickle of {module}.{name}")
+        fn = _allowed_globals().get((module, name))
+        if fn is None:
+            raise pickle.UnpicklingError(
+                f"Blocked unpickle of {module}.{name} — not in the exact-name "
+                "allowlist of tensor-reconstruction callables")
+        return fn
 
 
 def load_network_pkl(f, force_fp16=False):

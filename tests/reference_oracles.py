@@ -98,3 +98,416 @@ def conv2d_torch(x, w, stride=1, padding=0, groups=1, transpose=False, flip_weig
 
 def to_np(t):
     return t.detach().cpu().numpy().astype(np.float32)
+
+
+# ===========================================================================
+# Mini StyleGAN2 in torch — the end-to-end golden oracle.
+#
+# Restates the COMPOSED generator/discriminator semantics (modulated conv
+# with demod eps placement, equalized-lr gains, FIR gains, flip_weight
+# conventions, noise semantics, skip/resnet wiring, mbstd epilogue) from
+# the documented contracts: reference conv2d_resample.py:46-141 (padding
+# algebra + generic fallback path), the pickle-embedded
+# training.networks_stylegan2 architecture described in SURVEY.md §1/§7,
+# and our own networks.py docstrings. Used to close the loop that op-level
+# oracles cannot: a wrong gain or flip convention composes silently.
+# ===========================================================================
+
+
+def _act_gain(act):
+    return float(np.sqrt(2.0)) if act in ("relu", "lrelu", "swish") else 1.0
+
+
+def conv2d_resample_torch(x, w, f=None, up=1, down=1, padding=0, groups=1,
+                          flip_weight=True):
+    """Reference conv2d_resample via the generic decomposition:
+    pad+upsample-filter (gain up^2) -> plain conv -> filter+downsample."""
+    fw = int(f.shape[-1]) if f is not None else 1
+    fh = int(f.shape[0]) if f is not None else 1
+    px0 = px1 = py0 = py1 = int(padding)
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+    x = upfirdn2d_torch(x, f if up > 1 else None, up=up,
+                        padding=(px0, px1, py0, py1), gain=up ** 2)
+    x = conv2d_torch(x, w, groups=groups, flip_weight=flip_weight)
+    if down > 1:
+        x = upfirdn2d_torch(x, f, down=down)
+    return x
+
+
+def upsample2d_torch(x, f, up=2):
+    fw, fh = int(f.shape[-1]), int(f.shape[0])
+    p = ((fw + up - 1) // 2, (fw - up) // 2,
+         (fh + up - 1) // 2, (fh - up) // 2)
+    return upfirdn2d_torch(x, f, up=up, padding=p, gain=up ** 2)
+
+
+def modulated_conv2d_torch(x, weight, styles, noise=None, up=1, padding=0,
+                           resample_filter=None, demodulate=True,
+                           flip_weight=True):
+    """Per-sample grouped-weight formulation (NVIDIA fused_modconv=True):
+    deliberately the OTHER formulation than our input-scaling JAX op, so
+    the parity test also proves the two are mathematically equivalent."""
+    n, in_ch, h, w_in = x.shape
+    out_ch, _, kh, kw = weight.shape
+    w = weight.unsqueeze(0) * styles.reshape(n, 1, in_ch, 1, 1)
+    if demodulate:
+        d = (w.square().sum(dim=[2, 3, 4]) + 1e-8).rsqrt()
+        w = w * d.reshape(n, out_ch, 1, 1, 1)
+    x = x.reshape(1, n * in_ch, h, w_in)
+    w = w.reshape(n * out_ch, in_ch, kh, kw)
+    x = conv2d_resample_torch(x, w, f=resample_filter, up=up, padding=padding,
+                              groups=n, flip_weight=flip_weight)
+    x = x.reshape(n, out_ch, x.shape[-2], x.shape[-1])
+    if noise is not None:
+        x = x + noise
+    return x
+
+
+def make_filter_torch(taps=(1, 3, 3, 1)):
+    f = torch.tensor(taps, dtype=torch.float32)
+    f = f / f.sum()
+    return torch.outer(f, f)
+
+
+class FullyConnectedT(torch.nn.Module):
+    def __init__(self, in_f, out_f, activation="linear", lr_multiplier=1.0,
+                 bias_init=0.0):
+        super().__init__()
+        self.in_f, self.activation = in_f, activation
+        self.lr_multiplier = lr_multiplier
+        self.weight = torch.nn.Parameter(torch.randn(out_f, in_f))
+        self.bias = torch.nn.Parameter(torch.full((out_f,), float(bias_init)))
+
+    def forward(self, x):
+        w = self.weight * (self.lr_multiplier / np.sqrt(self.in_f))
+        b = self.bias * self.lr_multiplier
+        return bias_act_torch(x @ w.t(), b, dim=x.ndim - 1,
+                              act=self.activation,
+                              gain=_act_gain(self.activation))
+
+
+class Conv2dLayerT(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, k, activation="linear", down=1,
+                 bias=True, conv_clamp=None):
+        super().__init__()
+        self.activation, self.down, self.conv_clamp = activation, down, conv_clamp
+        self.weight_gain = 1.0 / np.sqrt(in_ch * k * k)
+        self.padding = k // 2
+        self.weight = torch.nn.Parameter(torch.randn(out_ch, in_ch, k, k))
+        if bias:
+            self.bias = torch.nn.Parameter(torch.zeros(out_ch))
+        else:
+            self.bias = None
+        self.register_buffer("resample_filter", make_filter_torch())
+
+    def forward(self, x, gain=1.0):
+        w = self.weight * self.weight_gain
+        x = conv2d_resample_torch(x, w, f=self.resample_filter,
+                                  down=self.down, padding=self.padding,
+                                  flip_weight=True)
+        act_gain = _act_gain(self.activation) * gain
+        clamp = self.conv_clamp * gain if self.conv_clamp is not None else -1.0
+        return bias_act_torch(x, self.bias, act=self.activation,
+                              gain=act_gain, clamp=clamp)
+
+
+class SynthesisLayerT(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, w_dim, resolution, up=1, conv_clamp=None):
+        super().__init__()
+        self.up, self.conv_clamp = up, conv_clamp
+        self.padding = 1
+        self.affine = FullyConnectedT(w_dim, in_ch, bias_init=1.0)
+        self.weight = torch.nn.Parameter(torch.randn(out_ch, in_ch, 3, 3))
+        self.bias = torch.nn.Parameter(torch.zeros(out_ch))
+        self.register_buffer("noise_const", torch.randn(resolution, resolution))
+        self.noise_strength = torch.nn.Parameter(torch.zeros([]))
+        self.register_buffer("resample_filter", make_filter_torch())
+
+    def forward(self, x, w, noise_mode="const", gain=1.0):
+        styles = self.affine(w)
+        noise = None
+        if noise_mode == "const":
+            noise = self.noise_const * self.noise_strength
+        x = modulated_conv2d_torch(
+            x, self.weight, styles, noise=noise, up=self.up,
+            padding=self.padding, resample_filter=self.resample_filter,
+            flip_weight=(self.up == 1))
+        act_gain = _act_gain("lrelu") * gain
+        clamp = self.conv_clamp * gain if self.conv_clamp is not None else -1.0
+        return bias_act_torch(x, self.bias, act="lrelu", gain=act_gain,
+                              clamp=clamp)
+
+
+class ToRGBLayerT(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, w_dim, conv_clamp=None):
+        super().__init__()
+        self.conv_clamp = conv_clamp
+        self.weight_gain = 1.0 / np.sqrt(in_ch)
+        self.affine = FullyConnectedT(w_dim, in_ch, bias_init=1.0)
+        self.weight = torch.nn.Parameter(torch.randn(out_ch, in_ch, 1, 1))
+        self.bias = torch.nn.Parameter(torch.zeros(out_ch))
+
+    def forward(self, x, w):
+        styles = self.affine(w) * self.weight_gain
+        x = modulated_conv2d_torch(x, self.weight, styles, demodulate=False)
+        return bias_act_torch(x, self.bias, clamp=self.conv_clamp
+                              if self.conv_clamp is not None else -1.0)
+
+
+class SynthesisBlockT(torch.nn.Module):
+    def __init__(self, in_ch, out_ch, w_dim, resolution, img_channels,
+                 conv_clamp=None):
+        super().__init__()
+        self.resolution = resolution
+        self.register_buffer("resample_filter", make_filter_torch())
+        if resolution == 4:
+            self.const = torch.nn.Parameter(torch.randn(out_ch, 4, 4))
+        else:
+            self.conv0 = SynthesisLayerT(in_ch, out_ch, w_dim, resolution,
+                                         up=2, conv_clamp=conv_clamp)
+        self.conv1 = SynthesisLayerT(out_ch, out_ch, w_dim, resolution,
+                                     conv_clamp=conv_clamp)
+        self.torgb = ToRGBLayerT(out_ch, img_channels, w_dim,
+                                 conv_clamp=conv_clamp)
+
+    def forward(self, x, img, ws_block, noise_mode="const"):
+        w_idx = 0
+        if self.resolution == 4:
+            x = self.const.unsqueeze(0).repeat(ws_block.shape[0], 1, 1, 1)
+        else:
+            x = self.conv0(x, ws_block[:, 0], noise_mode=noise_mode)
+            w_idx = 1
+        x = self.conv1(x, ws_block[:, w_idx], noise_mode=noise_mode)
+        y = self.torgb(x, ws_block[:, w_idx + 1])
+        if img is not None:
+            img = upsample2d_torch(img, self.resample_filter)
+        img = y if img is None else img + y
+        return x, img
+
+
+class MappingNetworkT(torch.nn.Module):
+    def __init__(self, z_dim, w_dim, num_ws, num_layers=2, lr_multiplier=0.01):
+        super().__init__()
+        self.num_ws, self.num_layers = num_ws, num_layers
+        for i in range(num_layers):
+            setattr(self, f"fc{i}",
+                    FullyConnectedT(z_dim if i == 0 else w_dim, w_dim,
+                                    activation="lrelu",
+                                    lr_multiplier=lr_multiplier))
+        self.register_buffer("w_avg", torch.zeros(w_dim))
+
+    def forward(self, z, truncation_psi=1.0):
+        x = z * (z.square().mean(dim=1, keepdim=True) + 1e-8).rsqrt()
+        for i in range(self.num_layers):
+            x = getattr(self, f"fc{i}")(x)
+        if truncation_psi != 1.0:
+            x = self.w_avg + truncation_psi * (x - self.w_avg)
+        return x.unsqueeze(1).repeat(1, self.num_ws, 1)
+
+
+class GeneratorT(torch.nn.Module):
+    """Mini SG2 generator; instance attrs + _init_kwargs mirror the NVIDIA
+    persistence state layout (persistence.py:119-126)."""
+
+    def __init__(self, z_dim=64, c_dim=0, w_dim=64, img_resolution=32,
+                 img_channels=2, mapping_kwargs=None, synthesis_kwargs=None):
+        super().__init__()
+        mapping_kwargs = mapping_kwargs or {}
+        synthesis_kwargs = synthesis_kwargs or {}
+        self.z_dim, self.c_dim, self.w_dim = z_dim, c_dim, w_dim
+        self.img_resolution, self.img_channels = img_resolution, img_channels
+        cb = synthesis_kwargs.get("channel_base", 1024)
+        cm = synthesis_kwargs.get("channel_max", 64)
+        clamp = synthesis_kwargs.get("conv_clamp", 256)
+        self.block_resolutions = [
+            2 ** i for i in range(2, int(np.log2(img_resolution)) + 1)]
+        channels = {res: min(cb // res, cm) for res in self.block_resolutions}
+        self.num_ws = sum(1 if r == 4 else 2
+                          for r in self.block_resolutions) + 1
+        self.mapping = MappingNetworkT(
+            z_dim, w_dim, self.num_ws,
+            num_layers=mapping_kwargs.get("num_layers", 2))
+        self.synthesis = _SynthesisNetworkT(self.block_resolutions, channels,
+                                            w_dim, img_channels, clamp)
+        # What @persistent_class's Decorator.__init__ records:
+        self._init_args = ()
+        self._init_kwargs = dict(z_dim=z_dim, c_dim=c_dim, w_dim=w_dim,
+                                 img_resolution=img_resolution,
+                                 img_channels=img_channels,
+                                 mapping_kwargs=dict(mapping_kwargs),
+                                 synthesis_kwargs=dict(synthesis_kwargs))
+
+    def forward(self, z, truncation_psi=1.0, noise_mode="const"):
+        ws = self.mapping(z, truncation_psi=truncation_psi)
+        return self.synthesis(ws, noise_mode=noise_mode)
+
+
+class _SynthesisNetworkT(torch.nn.Module):
+    def __init__(self, block_resolutions, channels, w_dim, img_channels,
+                 conv_clamp):
+        super().__init__()
+        self.block_resolutions = block_resolutions
+        for res in block_resolutions:
+            in_ch = channels[res // 2] if res > 4 else 0
+            setattr(self, f"b{res}",
+                    SynthesisBlockT(in_ch, channels[res], w_dim, res,
+                                    img_channels, conv_clamp=conv_clamp))
+
+    def forward(self, ws, noise_mode="const"):
+        x = img = None
+        w_idx = 0
+        for res in self.block_resolutions:
+            block = getattr(self, f"b{res}")
+            n_conv = 1 if res == 4 else 2
+            x, img = block(x, img, ws[:, w_idx:w_idx + n_conv + 1],
+                           noise_mode=noise_mode)
+            w_idx += n_conv
+        return img
+
+
+def minibatch_stddev_torch(x, group_size, num_channels):
+    n, c, h, w = x.shape
+    g = min(group_size, n)
+    f_ = num_channels
+    y = x.reshape(g, n // g, f_, c // f_, h, w)
+    y = y - y.mean(dim=0, keepdim=True)
+    y = y.square().mean(dim=0)
+    y = (y + 1e-8).sqrt()
+    y = y.mean(dim=[2, 3, 4])
+    y = y.reshape(n // g, f_, 1, 1).repeat(g, 1, h, w)
+    return torch.cat([x, y], dim=1)
+
+
+class DiscriminatorBlockT(torch.nn.Module):
+    def __init__(self, in_ch, tmp_ch, out_ch, img_channels, first,
+                 conv_clamp=None):
+        super().__init__()
+        self.first = first
+        if first:
+            self.fromrgb = Conv2dLayerT(img_channels, tmp_ch, 1,
+                                        activation="lrelu",
+                                        conv_clamp=conv_clamp)
+        self.conv0 = Conv2dLayerT(tmp_ch, tmp_ch, 3, activation="lrelu",
+                                  conv_clamp=conv_clamp)
+        self.conv1 = Conv2dLayerT(tmp_ch, out_ch, 3, activation="lrelu",
+                                  down=2, conv_clamp=conv_clamp)
+        self.skip = Conv2dLayerT(tmp_ch, out_ch, 1, down=2, bias=False)
+
+    def forward(self, x, img):
+        if self.first:
+            x = self.fromrgb(img)
+        y = self.skip(x, gain=np.sqrt(0.5))
+        x = self.conv0(x)
+        x = self.conv1(x, gain=np.sqrt(0.5))
+        return y + x
+
+
+class DiscriminatorT(torch.nn.Module):
+    def __init__(self, c_dim=0, img_resolution=32, img_channels=2,
+                 channel_base=1024, channel_max=64, conv_clamp=256,
+                 mbstd_group_size=4, mbstd_num_channels=1, block_kwargs=None,
+                 epilogue_kwargs=None):
+        super().__init__()
+        self.c_dim = c_dim
+        self.img_resolution, self.img_channels = img_resolution, img_channels
+        self.mbstd_group_size = mbstd_group_size
+        self.mbstd_num_channels = mbstd_num_channels
+        self.block_resolutions = [
+            2 ** i for i in range(int(np.log2(img_resolution)), 2, -1)]
+        channels = {res: min(channel_base // res, channel_max)
+                    for res in self.block_resolutions + [4]}
+        first = True
+        for res in self.block_resolutions:
+            setattr(self, f"b{res}",
+                    DiscriminatorBlockT(0 if first else channels[res],
+                                        channels[res], channels[res // 2],
+                                        img_channels, first,
+                                        conv_clamp=conv_clamp))
+            first = False
+        ch4 = channels[4]
+        self.b4 = torch.nn.Module()
+        self.b4.conv = Conv2dLayerT(ch4 + mbstd_num_channels, ch4, 3,
+                                    activation="lrelu", conv_clamp=conv_clamp)
+        self.b4.fc = FullyConnectedT(ch4 * 16, ch4, activation="lrelu")
+        self.b4.out = FullyConnectedT(ch4, 1)
+        self._init_args = ()
+        self._init_kwargs = dict(c_dim=c_dim, img_resolution=img_resolution,
+                                 img_channels=img_channels,
+                                 channel_base=channel_base,
+                                 channel_max=channel_max,
+                                 conv_clamp=conv_clamp,
+                                 mbstd_group_size=mbstd_group_size,
+                                 mbstd_num_channels=mbstd_num_channels)
+
+    def forward(self, img):
+        x = None
+        for res in self.block_resolutions:
+            x = getattr(self, f"b{res}")(x, img)
+        x = minibatch_stddev_torch(x, self.mbstd_group_size,
+                                   self.mbstd_num_channels)
+        x = self.b4.conv(x)
+        x = self.b4.fc(x.reshape(x.shape[0], -1))
+        return self.b4.out(x)
+
+
+# ---------------------------------------------------------------------------
+# NVIDIA persistence wire-format emitter (the real pickle layout: meta dict
+# with type/version/module_src/class_name and state = module __dict__, with
+# nested persistent submodules — persistence.py:119-126, :179-203).
+
+_FAKE_MODULE_SRC = "# source embedded by torch_utils.persistence (unused)\n"
+
+
+def _install_fake_persistence_module():
+    import sys
+    import types
+
+    if "torch_utils.persistence" in sys.modules:
+        return sys.modules["torch_utils.persistence"]._reconstruct_persistent_obj
+
+    def _reconstruct_persistent_obj(meta):  # pragma: no cover
+        raise RuntimeError("test stub — the converter must intercept this")
+
+    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
+    pm = types.ModuleType("torch_utils.persistence")
+    pm._reconstruct_persistent_obj = _reconstruct_persistent_obj
+    tu = types.ModuleType("torch_utils")
+    tu.persistence = pm
+    sys.modules["torch_utils"] = tu
+    sys.modules["torch_utils.persistence"] = pm
+    return _reconstruct_persistent_obj
+
+
+def persistence_pickle_bytes(obj):
+    """Pickle {'G_ema': module, 'D': module, ...} in the NVIDIA wire format:
+    every nn.Module (recursively) becomes a _reconstruct_persistent_obj(meta)
+    reduce with state = its full __dict__ (training flag,
+    _non_persistent_buffers_set, version tags and all)."""
+    import io as _io
+    import pickle as _pickle
+
+    reconstruct = _install_fake_persistence_module()
+
+    class _P(_pickle.Pickler):
+        def reducer_override(self, o):
+            if isinstance(o, torch.nn.Module):
+                meta = dict(type="class", version=6,
+                            module_src=_FAKE_MODULE_SRC,
+                            class_name=type(o).__name__,
+                            state=dict(o.__dict__))
+                return (reconstruct, (meta,))
+            return NotImplemented
+
+    buf = _io.BytesIO()
+    _P(buf, protocol=4).dump(obj)
+    return buf.getvalue()
