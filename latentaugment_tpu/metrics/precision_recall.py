@@ -29,19 +29,37 @@ def _dist_tile(rows, cols):
 
 
 def compute_distances(row_features, col_features, col_batch_size=10000,
-                      num_gpus=1, rank=0):
-    """Chunked distance matrix [rows, cols] (device tiles, host assembly)."""
-    rows = jnp.asarray(row_features, jnp.float32)
+                      num_gpus=1, rank=0, mesh=None):
+    """Chunked distance matrix [rows, cols] (device tiles, host assembly).
+
+    With a mesh, each tile's ROWS are sharded over the 'data' axis and the
+    cols replicated — the direct analogue of the reference's per-rank
+    round-robin + broadcast (precision_recall.py:25-31), with GSPMD
+    placing the gather.
+    """
+    rows = np.asarray(row_features, np.float32)
+    n_rows = rows.shape[0]
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        rows, _ = pmesh.pad_to_multiple(rows, mesh.devices.size)
+        rows = jax.device_put(jnp.asarray(rows), pmesh.batch_sharding(mesh))
+        put_cols = lambda c: jax.device_put(jnp.asarray(c, jnp.float32),
+                                            pmesh.replicated(mesh))
+    else:
+        rows = jnp.asarray(rows)
+        put_cols = lambda c: jnp.asarray(c, jnp.float32)
     out = []
     n = col_features.shape[0]
     for lo in range(0, n, col_batch_size):
-        cols = jnp.asarray(col_features[lo:lo + col_batch_size], jnp.float32)
-        out.append(np.asarray(_dist_tile(rows, cols)))
+        cols = put_cols(col_features[lo:lo + col_batch_size])
+        out.append(np.asarray(_dist_tile(rows, cols))[:n_rows])
     return np.concatenate(out, axis=1)
 
 
 def knn_precision_recall(real_features, gen_features, nhood_size=3,
-                         row_batch_size=10000, col_batch_size=10000):
+                         row_batch_size=10000, col_batch_size=10000,
+                         mesh=None):
     """Core PR computation on feature arrays."""
     results = {}
     for name, manifold, probes in [("precision", real_features, gen_features),
@@ -49,7 +67,7 @@ def knn_precision_recall(real_features, gen_features, nhood_size=3,
         kth = []
         for lo in range(0, manifold.shape[0], row_batch_size):
             dist = compute_distances(manifold[lo:lo + row_batch_size], manifold,
-                                     col_batch_size)
+                                     col_batch_size, mesh=mesh)
             # k-th smallest excluding self -> index nhood_size (0-based) after
             # sorting, matching torch kthvalue(nhood_size + 1).
             kth.append(np.partition(dist, nhood_size, axis=1)[:, nhood_size])
@@ -57,7 +75,7 @@ def knn_precision_recall(real_features, gen_features, nhood_size=3,
         pred = []
         for lo in range(0, probes.shape[0], row_batch_size):
             dist = compute_distances(probes[lo:lo + row_batch_size], manifold,
-                                     col_batch_size)
+                                     col_batch_size, mesh=mesh)
             pred.append((dist <= kth[None, :]).any(axis=1))
         results[name] = float(np.concatenate(pred).astype(np.float64).mean())
     return results["precision"], results["recall"]
@@ -83,4 +101,5 @@ def compute_pr(opts, max_real, num_gen, nhood_size, row_batch_size,
             max_items=num_gen).get_all()
 
     return knn_precision_recall(real_features, gen_features, nhood_size,
-                                row_batch_size, col_batch_size)
+                                row_batch_size, col_batch_size,
+                                mesh=opts.mesh)

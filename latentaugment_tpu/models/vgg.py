@@ -175,7 +175,14 @@ def _adaptive_avg_pool(x, out_hw=7):
     n, c, h, w = x.shape
     if h == out_hw and w == out_hw:
         return x
-    # Integer-bin pooling; assumes h, w >= out_hw.
+    if h < out_hw or w < out_hw:
+        # Tiny trunk output (input images < 224): nearest-upsample first.
+        # Without this, integer-bin pooling below would take a 0-size slice
+        # and the fc head would emit NaN (found on 32² test images).
+        x = jnp.repeat(jnp.repeat(x, -(-out_hw // h), axis=2),
+                       -(-out_hw // w), axis=3)
+        n, c, h, w = x.shape
+    # Integer-bin pooling (h, w >= out_hw).
     kh, kw = h // out_hw, w // out_hw
     x = x[:, :, : kh * out_hw, : kw * out_hw]
     x = x.reshape(n, c, out_hw, kh, out_hw, kw)

@@ -102,3 +102,81 @@ def test_lpips_tr_variant(ws):
     assert np.isfinite(out["A"]).all()
     e0 = augment.latent_aug.stats_loss["epoch_0"]
     assert np.isfinite(e0["loss_lpips"]) and e0["loss_lpips"] > 0
+
+
+def test_debug_walk_snapshots_and_gif(ws, tmp_path):
+    """VERDICT #6: verbose batch-1 walk writes per-epoch w/img snapshots
+    and per-term times, and create_gif assembles the frames."""
+    opt = AugOptions().parse(
+        argv=ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
+                           "--verbose_log", "1", "--batch_size", "1",
+                           "--w_pix", "0.1", "--w_lpips", "1.0",
+                           "--w_latent", "0.001", "--w_disc", "0.01"],
+        install_logger=False)
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    batch = next(iter(dataset))
+    augment.set_input(batch)
+    augment.forward()
+
+    engine = augment.latent_aug
+    save_dir = engine.save_dir
+    from latentaugment_tpu.utils import util_path
+
+    stem = util_path.get_filename_without_extension(batch["A_paths"][0])
+    # Per-epoch snapshots (opt_num_epochs=3 in the fixture).
+    for epoch in range(3):
+        assert os.path.isfile(os.path.join(save_dir, f"{stem}_{epoch}.png"))
+        assert os.path.isfile(os.path.join(save_dir, f"w_{stem}_{epoch}.pkl"))
+    # Per-term times.
+    times_path = os.path.join(save_dir, "times [s].jsonl")
+    assert os.path.isfile(times_path)
+    with open(times_path) as f:
+        times = json.loads(f.read())
+    for key in ("time_latent", "time_disc", "time_pix", "time_lpips",
+                "time_epoch"):
+        assert times["epoch_0"][key] >= 0
+
+    # The GIF tool consumes the snapshots.
+    from latentaugment_tpu.analysis.create_gif import create_gif
+
+    outs = create_gif(save_dir)
+    assert any(out.endswith(f"{stem}.gif") for out in outs)
+    assert os.path.getsize(outs[0]) > 0
+
+
+def test_debug_walk_matches_fused_walk(ws):
+    """The un-scanned debug walk follows the same trajectory as the fused
+    lax.scan walk (shared adam_step).
+
+    Tolerances: Adam's first steps compute g/(|g|+1e-8), which acts like
+    sign(g) — near-zero gradient components amplify fp32 reassociation
+    noise between separately-compiled programs up to O(lr) in w. So the
+    tight check is on the per-step LOSSES (identical math), and the w/img
+    check allows a few lr-scale flips on dead coordinates."""
+    import jax
+
+    from latentaugment_tpu import benchmark
+
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=32, channel_base=1024, channel_max=64, num_epochs=3, crop_size=16,
+        manifold_items=8)
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch_size=2)
+
+    img_fast, ws_fast, traces = jax.jit(fns.walk)(bundle, w0, crop_pos,
+                                                  synth_key)
+
+    # Manual un-scanned loop via the exposed pieces.
+    step = jax.jit(fns.adam_step)
+    carry = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
+    dbg_losses = []
+    for t in range(3):
+        carry, aux = step(bundle, carry, jnp.asarray(float(t)), crop_pos)
+        dbg_losses.append(float(aux["loss"]))
+    img_dbg, ws_dbg = jax.jit(fns.finish)(bundle, w0, carry[0], synth_key)
+
+    np.testing.assert_allclose(dbg_losses, np.asarray(traces["loss"]),
+                               rtol=1e-5)
+    # lr = 0.01; allow a few sign flips of dead coords over 3 steps.
+    assert np.abs(np.asarray(ws_dbg) - np.asarray(ws_fast)).max() < 0.05
+    assert np.abs(np.asarray(img_dbg) - np.asarray(img_fast)).mean() < 0.02

@@ -160,3 +160,64 @@ def test_calc_metric_fid_live_generator(metric_ws, tmp_path):
     )
     fid = compute_fid(opts, max_real=None, num_gen=16)
     assert np.isfinite(fid)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded metrics (round-1 VERDICT #5: MetricOptions.mesh was dead
+# plumbing; now detector batches and PR distance tiles shard over it).
+
+
+def test_sharded_detector_matches_single_device():
+    from latentaugment_tpu.metrics import metric_utils
+    from latentaugment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.get_mesh(8)
+    det = metric_utils.get_feature_detector(
+        "https://example.com/detectors/vgg16.pkl")
+    x = np.random.RandomState(0).rand(11, 3, 32, 32).astype(np.float32) * 255
+    # 11 rows: exercises the pad-to-multiple + trim path too.
+    f_single = np.asarray(det(x))
+    f_sharded = np.asarray(det(x, mesh=mesh))
+    # NaN would make assert_allclose pass vacuously (equal_nan defaults on).
+    assert np.isfinite(f_single).all()
+    assert f_sharded.shape == f_single.shape
+    np.testing.assert_allclose(f_sharded, f_single, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_distance_tiles_match():
+    from latentaugment_tpu.metrics import precision_recall as pr
+    from latentaugment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.get_mesh(8)
+    rs = np.random.RandomState(1)
+    rows = rs.rand(13, 64).astype(np.float32)
+    cols = rs.rand(21, 64).astype(np.float32)
+    d_single = pr.compute_distances(rows, cols, col_batch_size=7)
+    d_sharded = pr.compute_distances(rows, cols, col_batch_size=7, mesh=mesh)
+    np.testing.assert_allclose(d_sharded, d_single, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fid_pr_match_single_device(metric_ws, tmp_path):
+    """Full calc_metric with a mesh == without (cache disabled so both
+    paths really extract features)."""
+    from latentaugment_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.get_mesh(8)
+    common = dict(
+        dataset_kwargs=dict(path=metric_ws["img_zip"], split="train",
+                            modalities=["MR_nonrigid_CT", "MR_MR_T2"],
+                            resolution=32),
+        dataset_kwargs_gen=dict(dataroot=metric_ws["aug_dir"],
+                                aug_name="synth_aug", batch_size=2),
+        mode_dict=dict(mode_name="MR_nonrigid_CT", mode_idx=0),
+        cache=False,
+    )
+    fid_single = calc_metric("fid50k_full", **common).results.fid50k_full
+    fid_mesh = calc_metric("fid50k_full", mesh=mesh, **common) \
+        .results.fid50k_full
+    np.testing.assert_allclose(fid_mesh, fid_single, rtol=1e-3)
+
+    pr_single = calc_metric("pr50k3_full", **common).results
+    pr_mesh = calc_metric("pr50k3_full", mesh=mesh, **common).results
+    assert pr_mesh.pr50k3_full_precision == pr_single.pr50k3_full_precision
+    assert pr_mesh.pr50k3_full_recall == pr_single.pr50k3_full_recall
