@@ -46,31 +46,56 @@ def embedding_from_params(vgg_params, lin, x, target_layers=None):
 
 
 class LPIPS:
-    """Learned perceptual distance over a VGG16 layer subset.
+    """Learned perceptual distance over a backbone layer subset.
 
     Works on images in [-1, 1] (like the reference criterion).
-    """
+    net_type: 'vgg' (default, VGG16 taps [16,23,30]), 'alex', or
+    'squeeze' — the reference's three backbones
+    (criteria/lpips/networks.py:12-20)."""
 
     def __init__(self, net_type="vgg", params=None, lin=None,
                  target_layers=None, report_dir=None):
-        if net_type != "vgg":
+        from ...models import lpips_backbones as bb
+
+        if net_type == "vgg":
+            self.target_layers = list(target_layers or DEFAULT_TARGET_LAYERS)
+            self.params = params if params is not None else vgg.get_vgg16()
+            channels = vgg.LPIPS_CHANNELS
+            self._taps_fn = lambda p, x01: vgg.vgg_features(
+                p, x01, taps=self.target_layers, input_range="0_255")
+            self._input_scale = "0_255"
+        elif net_type == "alex":
+            self.target_layers = list(target_layers or bb.ALEX_TAPS)
+            self.params = params if params is not None \
+                else bb.init_alexnet(jax.random.PRNGKey(0))
+            channels = bb.ALEX_CHANNELS
+            self._taps_fn = bb.alexnet_taps
+            self._input_scale = "pm1"
+        elif net_type == "squeeze":
+            self.target_layers = list(target_layers or bb.SQUEEZE_TAPS)
+            self.params = params if params is not None \
+                else bb.init_squeezenet(jax.random.PRNGKey(0))
+            channels = bb.SQUEEZE_CHANNELS
+            self._taps_fn = bb.squeezenet_taps
+            self._input_scale = "pm1"
+        else:
             raise NotImplementedError(
-                f"net_type={net_type!r}: only the VGG16 backbone is "
-                "implemented (the reference's alex/squeeze variants are "
-                "unused by the LatentAugment path)")
-        self.target_layers = list(target_layers or DEFAULT_TARGET_LAYERS)
-        self.params = params if params is not None else vgg.get_vgg16()
+                "choose net_type from [alex, squeeze, vgg].")
+        self.net_type = net_type
         if lin is not None:
             self.lin = lin
         else:
-            self.lin = {t: self.params.get("lin", {}).get(
-                t, jnp.ones((vgg.LPIPS_CHANNELS[t],))) for t in self.target_layers}
+            base = self.params.get("lin", {}) if net_type == "vgg" else {}
+            self.lin = {t: base.get(t, jnp.ones((channels[t],)))
+                        for t in self.target_layers}
         self._extract = jax.jit(self._extract_impl)
 
     def _extract_impl(self, x):
-        # [-1,1] -> [0,255] for the shared backbone input convention.
-        x = (x + 1.0) * 127.5
-        acts = vgg.vgg_features(self.params, x, taps=self.target_layers)
+        if self._input_scale == "0_255":
+            # [-1,1] -> [0,255] for the shared VGG input convention.
+            acts = self._taps_fn(self.params, (x + 1.0) * 127.5)
+        else:
+            acts = self._taps_fn(self.params, x)
         return [_normalize_act(acts[t].astype(jnp.float32))
                 for t in self.target_layers]
 
@@ -97,9 +122,16 @@ class LPIPS:
         """Per-image embedding whose squared-L2 equals the LPIPS distance
         over this criterion's layer subset — the analogue of
         vgg.lpips_features for the local-LPIPS variant, used by the
-        engine's `--lpips_script lpips_tr` path. x in [-1, 1], [N,3,H,W]."""
-        return embedding_from_params(self.params, self.lin, jnp.asarray(x),
-                                     self.target_layers)
+        engine's `--lpips_script lpips_tr` path. x in [-1, 1], [N,3,H,W].
+        Works for every backbone (vgg/alex/squeeze)."""
+        fxs = self.extract_features(x)
+        outs = []
+        for tap, fx in zip(self.target_layers, fxs):
+            w = jnp.maximum(self.lin[tap], 0.0)[None, :, None, None]
+            hw = float(fx.shape[2] * fx.shape[3])
+            outs.append((fx * jnp.sqrt(w) / jnp.sqrt(hw))
+                        .reshape(fx.shape[0], -1))
+        return jnp.concatenate(outs, axis=1)
 
     def forward_tr(self, x, feat):
         """Mean distance of batch x to a *manifold* of precomputed feature

@@ -64,7 +64,8 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
 def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                   w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
-                  truncation_psi=1.0, remat=True, lpips_variant="script"):
+                  truncation_psi=1.0, remat=True, lpips_variant="script",
+                  lpips_ref_input=False):
     """Build the pure walk/ganrand/z_to_w/synthesize functions.
 
     Each returned fn takes a `bundle` (see make_bundle) as its first
@@ -155,7 +156,15 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         xm = x_crop.reshape(b * n_modes, 1, *x_crop.shape[2:])
         xm = jnp.repeat(xm, 3, axis=1)
         if lpips_variant == "script":
-            feats = vgg.lpips_features(bundle["vgg"], (xm + 1.0) * 127.5)
+            # Default: [0,255] input, consistent with how the manifold
+            # features are extracted. lpips_ref_input reproduces the
+            # reference's synthetic-branch input instead — it feeds the raw
+            # [-1,1] image to the VGG (calc_loss_lpips_torchscript,
+            # util_latent_aug.py:387-409), a scale inconsistency the
+            # reference-tuned w_lpips weights were calibrated against
+            # (see PARITY.md; round-1 ADVICE low).
+            feats = vgg.lpips_features(
+                bundle["vgg"], xm if lpips_ref_input else (xm + 1.0) * 127.5)
         else:  # local LPIPS criterion embedding (forward_tr parity)
             from .criteria.lpips import embedding_from_params
 
@@ -433,7 +442,9 @@ class LatentAugEngine:
             # batch 32; opt.remat overrides (int = only blocks with
             # res >= value, for larger batches — see synthesis_apply).
             remat=self._remat_setting(),
-            lpips_variant=self.lpips_variant)
+            lpips_variant=self.lpips_variant,
+            lpips_ref_input=bool(getattr(self._opt_ref, "lpips_ref_input",
+                                         False)))
         walk, ganrand = fns.walk, fns.ganrand
         z_to_w, synthesize, loss_fn = fns.z_to_w, fns.synthesize, fns.loss_fn
 

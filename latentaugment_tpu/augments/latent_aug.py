@@ -60,6 +60,7 @@ class LatentAugment(BaseAugment):
         parser.add_argument('--step_img', help='Selection step to create the image dataset from which compute the distances.', type=int, default=20)
         parser.add_argument('--step_w', help='Selection step to create the latent dataset from which compute the distances.', type=int, default=5)
         parser.add_argument('--lpips_script', help='How to extract the features manifold.', type=str, default='lpips_script')
+        parser.add_argument('--lpips_ref_input', help='Feed raw [-1,1] synthetic crops to the LPIPS VGG (exact reference parity; default uses a consistent [0,255] scale — see PARITY.md).', action='store_true')
         parser.add_argument('--opt_num_epochs', help='Number of optimization steps', type=int, default=10)
         parser.add_argument('--opt_lr', help='Learning rate of optimization algorithm', type=float, default=0.01)
         parser.add_argument('--init_w', help='Initialization point for latent codes [inv | random]', type=str, default='random')

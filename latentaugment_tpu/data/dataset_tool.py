@@ -126,9 +126,20 @@ def snap_pickle(source, dest, source_mask=None, pop_range=10,
         shutil.rmtree(temp)
     util_path.create_dir(temp)
 
-    mask_iter = None
-    if apply_mask and source_mask:
-        mask_iter = iterate_patient_slices(source_mask)
+    mask_vols = {}
+
+    def get_mask_slice(patient, d):
+        """Mask slice by (patient, depth) lookup — zip-iterating the mask
+        source would desync whenever a slice is skipped (pop_range /
+        registration problems)."""
+        if patient not in mask_vols:
+            pdir = os.path.join(source_mask, patient)
+            files = [f for f in sorted(glob.glob(os.path.join(pdir, "*")))
+                     if util_path.get_filename_without_extension(f)
+                     .replace(".nii", "") == "mask"]
+            mask_vols[patient] = load_volume(files[0]) if files else None
+        vol = mask_vols[patient]
+        return None if vol is None else vol[d]
 
     dataset_attrs = None
     n_written = 0
@@ -148,11 +159,14 @@ def snap_pickle(source, dest, source_mask=None, pop_range=10,
                 continue
 
         img = image["img"]
-        if mask_iter is not None:
-            mask_image = next(mask_iter)
-            mask = mask_image["img"]["mask"].astype(np.uint8)
-            for mode in sorted(img):
-                img[mode] = np.multiply(img[mode], mask).astype(np.float64)
+        if apply_mask and source_mask:
+            mask = get_mask_slice(folder_name, d)
+            if mask is not None:
+                # Mask volumes are stored [D, H, W] like the modality volumes;
+                # iterate_patient_slices transposes slices, so match it.
+                mask = mask.transpose(1, 0).astype(np.uint8)
+                for mode in sorted(img):
+                    img[mode] = np.multiply(img[mode], mask).astype(np.float64)
 
         modalities = sorted(img.keys())
         cur_attrs = dict(width=img[modalities[0]].shape[1],
@@ -261,11 +275,324 @@ def snap_zip(temp_dir, dest_zip, splits):
 
 
 # ----------------------------------------------------------------------------
+# Front half: DICOM -> volume, resize, mask (parity: dataset_tool.py:216-520).
+# Heavy medical-IO deps (pydicom, nibabel) are gated; all geometry/morphology
+# logic is dependency-free and tested on synthetic volumes.
+
+def save_volume(path_base, vol):
+    """Save [D, H, W] as .nii.gz when nibabel exists, else .npy."""
+    try:
+        import nibabel as nib
+
+        img = nib.Nifti1Image(np.transpose(np.asarray(vol), (1, 2, 0)),
+                              affine=np.eye(4))
+        out = path_base + ".nii.gz"
+        nib.save(img, out)
+    except ImportError:
+        out = path_base + ".npy"
+        np.save(out, np.asarray(vol))
+    return out
+
+
+def assemble_dicom_series(slices):
+    """Sort a DICOM series into a [D, H, W] float volume.
+
+    `slices` are objects exposing pixel_array and (optionally)
+    ImagePositionPatient / InstanceNumber / RescaleSlope / RescaleIntercept
+    — real pydicom datasets or synthetic stand-ins. Slices order by the
+    z-component of ImagePositionPatient (falling back to InstanceNumber),
+    and HU rescale slope/intercept apply per slice (parity:
+    dicom_series_to_nifti's assembly; ref dataset_tool.py:216-246,
+    mayoclinic_dataset.py:28-48)."""
+    def sort_key(s):
+        pos = getattr(s, "ImagePositionPatient", None)
+        if pos is not None:
+            return float(pos[2])
+        return float(getattr(s, "InstanceNumber", 0))
+
+    ordered = sorted(slices, key=sort_key)
+    planes = []
+    for s in ordered:
+        arr = np.asarray(s.pixel_array, dtype=np.float64)
+        slope = float(getattr(s, "RescaleSlope", 1.0) or 1.0)
+        intercept = float(getattr(s, "RescaleIntercept", 0.0) or 0.0)
+        planes.append(arr * slope + intercept)
+    return np.stack(planes, axis=0)
+
+
+def convert_dicom_2_nifti(source, dest, modes_to_preprocess):
+    """Merge each patient's per-modality DICOM series into one volume file.
+
+    Layout: <source>/<patient>[/<study>]/<modality>/*.dcm ->
+    <dest>/<patient>/<modality>.{nii.gz,npy}. Requires pydicom."""
+    try:
+        import pydicom
+    except ImportError as e:
+        raise ImportError("pydicom is required for DICOM ingestion; convert "
+                          "your series to .npy volumes instead") from e
+
+    for pat in sorted(glob.glob(os.path.join(source, "*"))):
+        patient = util_path.get_filename_without_extension(pat)
+        output_dir = os.path.join(dest, patient)
+        if os.path.exists(output_dir):
+            print(f"{output_dir} already exists! Skip this patient.")
+            continue
+        util_path.create_dir(output_dir)
+        for mode in modes_to_preprocess:
+            mode_dir = os.path.join(pat, mode)
+            if not os.path.isdir(mode_dir):
+                sub = sorted(os.listdir(pat))
+                mode_dir = os.path.join(pat, sub[0], mode) if sub else mode_dir
+            files = sorted(glob.glob(os.path.join(mode_dir, "*")))
+            if not files:
+                print(f"fail to convert {mode_dir}: no files")
+                continue
+            try:
+                slices = [pydicom.dcmread(f) for f in files]
+                vol = assemble_dicom_series(slices)
+                save_volume(os.path.join(output_dir, mode), vol)
+                print(f"converted {patient}/{mode}: {vol.shape}")
+            except Exception as e:  # parity: ref swallows per-series failures
+                print(f"fail to convert {mode_dir}: {e}")
+
+
+def resize_volume(vol, image_shape, interpolation="linear"):
+    """In-plane resample of [D, H, W] to [D, *image_shape].
+
+    scipy.ndimage.zoom per volume (order 1 = the reference's 'linear'
+    respacing; ref dataset_tool.py:249-292)."""
+    from scipy import ndimage
+
+    d, h, w = vol.shape
+    order = {"nearest": 0, "linear": 1, "cubic": 3}[interpolation]
+    zoom = (1.0, image_shape[0] / h, image_shape[1] / w)
+    return ndimage.zoom(np.asarray(vol, np.float64), zoom, order=order)
+
+
+def _resize_one(args):
+    folder, dest, image_shape, interpolation = args
+    patient = util_path.get_filename_without_extension(folder)
+    outdir = util_path.create_dir(os.path.join(dest, patient))
+    for file_mode in sorted(glob.glob(os.path.join(folder, "*"))):
+        mode = util_path.get_filename_without_extension(file_mode).replace(
+            ".nii", "")
+        vol = resize_volume(load_volume(file_mode), image_shape, interpolation)
+        save_volume(os.path.join(outdir, mode), vol)
+    return patient
+
+
+def resize_nifti_folder(source, dest, image_shape=(256, 256),
+                        interpolation="linear", processes=None):
+    """Resize every patient's volumes (multiprocessing Pool with serial
+    fallback, as the reference)."""
+    folders = sorted(f for f in glob.glob(os.path.join(source, "*"))
+                     if os.path.isdir(f))
+    args = [(f, dest, tuple(image_shape), interpolation) for f in folders]
+    try:
+        from multiprocessing import Pool
+
+        with Pool(processes=processes) as pool:
+            done = pool.map(_resize_one, args)
+    except Exception:
+        done = [_resize_one(a) for a in args]
+    print(f"resized {len(done)} patients -> {dest}")
+    return done
+
+
+# ----- masking (parity: find_mask_* dataset_tool.py:376-520; nilearn's
+# compute_epi_mask replaced by a dependency-free histogram-threshold mask)
+
+def get_largest_connected_region(data):
+    from scipy import ndimage
+
+    if np.sum(data) > 0:
+        label, _ = ndimage.label(data == 1)
+        size = np.bincount(label.ravel())
+        biggest = size[1:].argmax() + 1
+        return (label == biggest).astype(np.uint8)
+    return data
+
+
+def remove_small_regions(data, min_size):
+    from scipy import ndimage
+
+    binary = (np.asarray(data) != 0).astype(np.uint8)
+    labelled, num = ndimage.label(binary)
+    refined = np.asarray(data).copy()
+    for lab in range(1, num + 1):
+        if np.sum(refined[labelled == lab]) < min_size:
+            refined[labelled == lab] = 0
+    return refined
+
+
+def compute_intensity_mask(vol):
+    """EPI-style foreground mask: threshold at the largest gap in the
+    robust intensity histogram (nilearn.compute_epi_mask analogue — finds
+    the valley between background and tissue modes between the 10th and
+    90th percentile of nonzero intensities)."""
+    v = np.asarray(vol, np.float64)
+    lo, hi = np.percentile(v, [10, 90])
+    if hi <= lo:
+        return (v > lo).astype(np.uint8)
+    hist, edges = np.histogram(v, bins=64, range=(lo, hi))
+    # Valley: minimum of the smoothed histogram interior.
+    kernel = np.ones(5) / 5.0
+    smooth = np.convolve(hist, kernel, mode="same")
+    valley = int(np.argmin(smooth[4:-4])) + 4
+    thr = edges[valley]
+    return (v > thr).astype(np.uint8)
+
+
+def build_mask_volume(vol, dataset):
+    """Per-dataset mask recipe on a [D, H, W] volume (ref :421-506; note
+    the reference operates [H, W, D] — recipes are per-slice either way)."""
+    from scipy import ndimage
+
+    if dataset == "spleen":
+        m = (np.asarray(vol) >= 30).astype(np.uint8)
+        m = get_largest_connected_region(m)
+        m = ndimage.binary_fill_holes(m).astype(np.uint8)
+        before = m.copy()
+        m = ndimage.binary_closing(m, structure=np.ones((3, 3, 3))).astype(np.uint8)
+        m = ((m + before) > 0).astype(np.uint8)
+        return ndimage.median_filter(m, size=3)
+    if dataset == "heart":
+        m = (np.asarray(vol) >= 5).astype(np.uint8)
+        for j in range(m.shape[0]):
+            m[j] = ndimage.binary_closing(m[j], structure=np.ones((5, 5))).astype(np.uint8)
+            m[j] = get_largest_connected_region(m[j])
+            m[j] = ndimage.binary_fill_holes(m[j]).astype(np.uint8)
+            m[j] = ndimage.median_filter(m[j], size=11)
+        return m
+    if dataset == "kits19":
+        m = (np.asarray(vol) >= 5).astype(np.uint8)
+        for j in range(m.shape[0]):
+            m[j] = ndimage.binary_fill_holes(m[j]).astype(np.uint8)
+            m[j] = ndimage.median_filter(m[j], size=9)
+        return remove_small_regions(m, min_size=125)
+    # Pelvis_2.1 and default: intensity mask + per-slice hole filling.
+    m = compute_intensity_mask(vol)
+    for j in range(m.shape[0]):
+        m[j] = ndimage.binary_fill_holes(m[j]).astype(np.uint8)
+    return m
+
+
+def mask_reference_modality(dataset):
+    """Which modality volume drives the mask (ref :377-389)."""
+    return {"brats20": "t2", "spleen": "img", "heart": "img",
+            "kits19": "imaging", "Pelvis_2.1": "MR_nonrigid_CT"}.get(
+                dataset, None)
+
+
+def find_mask_folder(source, dest, dataset):
+    """Build <dest>/<patient>/mask.{nii.gz,npy} from the reference
+    modality of each patient."""
+    ref = mask_reference_modality(dataset)
+    done = []
+    for folder in sorted(glob.glob(os.path.join(source, "*"))):
+        if not os.path.isdir(folder):
+            continue
+        patient = util_path.get_filename_without_extension(folder)
+        files = sorted(glob.glob(os.path.join(folder, "*")))
+        if ref is not None:
+            files = [f for f in files
+                     if util_path.get_filename_without_extension(f)
+                     .replace(".nii", "") == ref] or files
+        if not files:
+            continue
+        vol = load_volume(files[0])
+        mask = build_mask_volume(vol, dataset)
+        outdir = util_path.create_dir(os.path.join(dest, patient))
+        save_volume(os.path.join(outdir, "mask"), mask.astype(np.uint8))
+        done.append(patient)
+    print(f"masked {len(done)} patients -> {dest}")
+    return done
+
+
+# ----------------------------------------------------------------------------
+# Recipe (parity: prepare_Pelvis_2_1 dataset_tool.py:1119)
+
+def prepare_pelvis_2_1(data_dir, interim_dir, dest_zip, dataset="Pelvis_2.1",
+                       image_shape=(256, 256), modes_args=None, pop_range=10,
+                       apply_mask=False, splits=(0.7, 0.2, 0.1), seed=42,
+                       from_dicom=False, modes=("MR_nonrigid_CT", "MR_MR_T2")):
+    """Full preprocessing chain: [DICOM ->] resize -> normalize -> mask ->
+    snap_pickle -> splits -> zip. `data_dir` holds per-patient volume
+    folders (or DICOM series when from_dicom)."""
+    if not [f for f in glob.glob(os.path.join(data_dir, "*"))
+            if os.path.isdir(f)]:
+        raise click.ClickException(
+            f"no patient folders found under {data_dir!r}")
+    stage = data_dir
+    if from_dicom:
+        nifti_dir = os.path.join(interim_dir, "nifti_volumes")
+        convert_dicom_2_nifti(stage, nifti_dir, list(modes))
+        stage = nifti_dir
+
+    resized = os.path.join(interim_dir, "nifti_resized")
+    resize_nifti_folder(stage, resized, image_shape)
+
+    normalized = os.path.join(interim_dir, "nifti_normalized")
+    for folder in sorted(glob.glob(os.path.join(resized, "*"))):
+        patient = util_path.get_filename_without_extension(folder)
+        outdir = util_path.create_dir(os.path.join(normalized, patient))
+        for file_mode in sorted(glob.glob(os.path.join(folder, "*"))):
+            mode = util_path.get_filename_without_extension(file_mode).replace(".nii", "")
+            vol = normalize_per_dataset(load_volume(file_mode), dataset,
+                                        (modes_args or {}).get(mode, {}))
+            save_volume(os.path.join(outdir, mode), vol)
+
+    mask_dir = None
+    if apply_mask:
+        mask_dir = os.path.join(interim_dir, "nifti_mask")
+        find_mask_folder(normalized, mask_dir, dataset)
+
+    pickle_dir = os.path.join(interim_dir, "pickles")
+    temp = snap_pickle(normalized, pickle_dir, source_mask=mask_dir,
+                       pop_range=pop_range, apply_mask=apply_mask,
+                       is_overwrite=True)
+    patients = [p for p in sorted(os.listdir(temp))
+                if os.path.isdir(os.path.join(temp, p))]
+    split_map = make_splits(patients, *splits, seed=seed)
+    snap_zip(temp, dest_zip, split_map)
+    return dest_zip, split_map
+
+
+# ----------------------------------------------------------------------------
 # CLI
 
 @click.group()
 def main():
     """LatentAugment-TPU offline dataset tool."""
+
+
+@main.command()
+@click.option("--source", required=True, help="dir of <patient>/<modality>/*.dcm")
+@click.option("--dest", required=True)
+@click.option("--modes", default="MR_nonrigid_CT,MR_MR_T2")
+def process_dicom_2_nifti(source, dest, modes):
+    """Merge DICOM series into per-modality volumes (needs pydicom)."""
+    convert_dicom_2_nifti(source, dest, modes.split(","))
+
+
+@main.command()
+@click.option("--source", required=True)
+@click.option("--dest", required=True)
+@click.option("--width", type=int, default=256)
+@click.option("--height", type=int, default=256)
+@click.option("--interpolation", default="linear")
+def process_nifti_resized(source, dest, width, height, interpolation):
+    """In-plane resize of every patient volume."""
+    resize_nifti_folder(source, dest, (height, width), interpolation)
+
+
+@main.command()
+@click.option("--source", required=True)
+@click.option("--dest", required=True)
+@click.option("--dataset", default="Pelvis_2.1")
+def mask_nifti(source, dest, dataset):
+    """Build per-patient foreground masks from the reference modality."""
+    find_mask_folder(source, dest, dataset)
 
 
 @main.command()
@@ -319,6 +646,26 @@ def snap_zip_cmd(temp_dir, dest_zip, train, val, test, seed):
     with open(os.path.splitext(dest_zip)[0] + "_splits.json", "w") as f:
         json.dump(splits, f, indent=2)
     snap_zip(temp_dir, dest_zip, splits)
+
+
+@main.command()
+@click.option("--data_dir", required=True, help="per-patient volume folders")
+@click.option("--interim_dir", required=True)
+@click.option("--dest_zip", required=True)
+@click.option("--dataset", default="Pelvis_2.1")
+@click.option("--resolution", type=int, default=256)
+@click.option("--pop_range", type=int, default=10)
+@click.option("--apply_mask", is_flag=True)
+@click.option("--from_dicom", is_flag=True)
+@click.option("--seed", type=int, default=42)
+def prepare_pelvis(data_dir, interim_dir, dest_zip, dataset, resolution,
+                   pop_range, apply_mask, from_dicom, seed):
+    """Full Pelvis_2.1 recipe: [DICOM ->] resize -> normalize -> mask ->
+    slice pickles -> split -> zip (ref dataset_tool.py:1119)."""
+    prepare_pelvis_2_1(data_dir, interim_dir, dest_zip, dataset=dataset,
+                       image_shape=(resolution, resolution),
+                       pop_range=pop_range, apply_mask=apply_mask,
+                       from_dicom=from_dicom, seed=seed)
 
 
 if __name__ == "__main__":
