@@ -457,8 +457,12 @@ class LatentAugEngine:
         self._dbg_jit = None
         self._verbose_done = False
         if self.mesh is not None:
+            from ..ops.upfirdn2d import set_allow_pallas_blur
             from ..parallel import mesh as pmesh
 
+            # GSPMD cannot partition pallas_call; keep the sharded program
+            # on pure-XLA ops so the mesh path compiles and scales.
+            set_allow_pallas_blur(False)
             batch_sharding = pmesh.batch_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)
             self._bundle = jax.device_put(self._bundle, repl)

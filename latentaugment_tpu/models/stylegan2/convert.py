@@ -277,6 +277,17 @@ def infer_discriminator_config(payload, img_resolution=None, img_channels=None):
     )
 
 
+def _separable_or_2d(value):
+    """Checkpoint resample filters are 2-D buffers; factor rank-1 symmetric
+    ones to 1-D taps so the runtime FIR runs separably (half the
+    shift-adds). Non-factorable filters pass through as 2-D."""
+    from ...ops.upfirdn2d import separable_factor
+
+    arr = np.asarray(value, dtype=np.float32)
+    fac = separable_factor(arr)
+    return fac if fac is not None else arr
+
+
 # ----------------------------------------------------------------------------
 # State-dict -> functional param tree
 
@@ -300,7 +311,7 @@ def generator_tree_from_state(state, cfg):
     resample_filter = None
     for name, value in state.items():
         if name.endswith("resample_filter"):
-            resample_filter = np.asarray(value, dtype=np.float32)
+            resample_filter = _separable_or_2d(value)
             continue
         if name.startswith("mapping.fc"):
             # mapping.fc0.weight -> mapping/fc0/weight
@@ -316,7 +327,7 @@ def generator_tree_from_state(state, cfg):
     if resample_filter is None:
         from ...ops import setup_filter
 
-        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=False))
+        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=True))
     tree["synthesis"]["resample_filter"] = resample_filter
     _strip_noise_strength_scalars(tree["synthesis"])
     return tree
@@ -338,13 +349,13 @@ def discriminator_tree_from_state(state, cfg):
     resample_filter = None
     for name, value in state.items():
         if name.endswith("resample_filter"):
-            resample_filter = np.asarray(value, dtype=np.float32)
+            resample_filter = _separable_or_2d(value)
             continue
         _set_path(tree, name, value)
     if resample_filter is None:
         from ...ops import setup_filter
 
-        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=False))
+        resample_filter = np.asarray(setup_filter([1, 3, 3, 1], separable=True))
     tree["resample_filter"] = resample_filter
     return tree
 

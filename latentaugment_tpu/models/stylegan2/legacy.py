@@ -167,7 +167,7 @@ def convert_tf_generator(tf_G):
     from ...ops import setup_filter
 
     synthesis["resample_filter"] = np.asarray(
-        setup_filter(kw.get("resample_kernel", [1, 3, 3, 1]), separable=False))
+        setup_filter(kw.get("resample_kernel", [1, 3, 3, 1]), separable=True))
 
     return {"mapping": mapping, "synthesis": synthesis}, cfg
 
@@ -217,5 +217,5 @@ def convert_tf_discriminator(tf_D):
     from ...ops import setup_filter
 
     tree["resample_filter"] = np.asarray(
-        setup_filter(kw.get("resample_kernel", [1, 3, 3, 1]), separable=False))
+        setup_filter(kw.get("resample_kernel", [1, 3, 3, 1]), separable=True))
     return tree, cfg

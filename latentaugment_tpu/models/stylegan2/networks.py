@@ -227,7 +227,7 @@ def synthesis_init(key, cfg):
         block['torgb'] = _torgb_init(jax.random.fold_in(bkey, 3), out_ch,
                                      cfg.img_channels, cfg.w_dim)
         p[f'b{res}'] = block
-    p['resample_filter'] = setup_filter([1, 3, 3, 1], separable=False)
+    p['resample_filter'] = setup_filter([1, 3, 3, 1], separable=True)
     return p
 
 
@@ -372,7 +372,7 @@ def discriminator_init(key, cfg):
         'out': _fc_init(jax.random.fold_in(key, 3), ch4, 1),
     }
     p['b4'] = ep
-    p['resample_filter'] = setup_filter([1, 3, 3, 1], separable=False)
+    p['resample_filter'] = setup_filter([1, 3, 3, 1], separable=True)
     return p
 
 

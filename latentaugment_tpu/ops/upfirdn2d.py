@@ -81,19 +81,80 @@ def setup_filter(f, normalize=True, flip_filter=False, gain=1, separable=None):
     return jnp.asarray(f.copy(), dtype=jnp.float32)
 
 
-def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1, impl='xla'):
+def separable_factor(f2d):
+    """1-D taps `a` such that f2d == outer(a, a), or None.
+
+    The SG2 resample filter is outer([1,3,3,1],[1,3,3,1])/16 — rank-1 and
+    symmetric — but checkpoints store the 2-D buffer. Running the FIR
+    separably halves the shift-add work (8 slice-mults vs 16), so
+    converters factor incoming 2-D filters on host with this. Host-side
+    numpy only (needs concrete values — never call under jit)."""
+    f = np.asarray(f2d, np.float64)
+    if f.ndim == 1:
+        return f.astype(np.float32)
+    if f.ndim != 2 or f.shape[0] != f.shape[1]:
+        return None
+    u, s, vt = np.linalg.svd(f)
+    if s[0] <= 0 or (len(s) > 1 and s[1:].max() > 1e-6 * s[0]):
+        return None  # not rank-1
+    a = u[:, 0] * np.sqrt(s[0])
+    b = vt[0] * np.sqrt(s[0])
+    if a.sum() < 0:
+        a, b = -a, -b
+    if not np.allclose(a, b, atol=1e-9):
+        return None  # rank-1 but asymmetric: outer(a,b), a != b
+    return a.astype(np.float32)
+
+
+# Pallas selection for the hot 'auto' path. GSPMD cannot partition a
+# pallas_call, so the engine disables this when running over a device mesh
+# (set_allow_pallas_blur(False)); single-chip TPU keeps it on.
+_ALLOW_PALLAS_BLUR = True
+
+
+def set_allow_pallas_blur(allow):
+    global _ALLOW_PALLAS_BLUR
+    _ALLOW_PALLAS_BLUR = bool(allow)
+
+
+def _auto_wants_pallas(f, up, down, x=None):
+    """The measured Pallas win is the up=down=1 padded separable blur
+    (13 ms vs 177 ms XLA shift-add at [32,128,256,256] bf16 — see
+    BENCH_NOTES.md round 2). Up/down-sampling shapes lose to XLA
+    (round-1 measurement), and narrow widths waste VMEM (Mosaic pads the
+    lane dim to 128, so a 9-wide block inflates 14x), so auto only
+    diverts wide blurs."""
+    if not _ALLOW_PALLAS_BLUR:
+        return False
+    if f is None or f.ndim != 1:
+        return False
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    if (upx, upy, downx, downy) != (1, 1, 1, 1):
+        return False
+    if x is not None and int(x.shape[-1]) < 128:
+        return False
+    import jax
+
+    return jax.default_backend() == 'tpu'
+
+
+def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
+              impl='auto'):
     """Apply the upsample/pad/FIR/downsample pipeline to NCHW `x`.
 
     Args match the reference op (upfirdn2d.py:118-162): `padding` is
     [x0, x1, y0, y1] w.r.t. the upsampled image (negative = crop),
     flip_filter False = convolution / True = correlation, `gain` scales
-    the output magnitude. impl: 'xla' (shift-add, default), 'pallas'
-    (single-VMEM-residency fused kernel with custom VJP), or 'ref'.
+    the output magnitude. impl: 'auto' (default: Pallas blur kernel for
+    the up=down=1 separable case on single-chip TPU, XLA otherwise),
+    'xla' (shift-add), 'pallas' (fused kernel, custom VJP), or 'ref'.
     """
     assert x.ndim == 4
     if impl == 'ref':
         return _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain)
-    if impl == 'pallas':
+    if impl == 'pallas' or (impl == 'auto'
+                            and _auto_wants_pallas(f, up, down, x)):
         return _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain)
     return _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain)
 
@@ -332,9 +393,14 @@ def _upfirdn2d_pallas_call(x3, f, up, down, padding, flip_filter, gain):
 
     # Channel-tile size bounded by VMEM. Mosaic double-buffers the in/out
     # blocks and keeps several fp32 intermediates live (zero-inserted,
-    # padded, per-axis FIR outputs), so budget conservatively.
-    bytes_per_ch = (3 * up_h * up_w + out_h * up_w + 2 * in_h * in_w
-                    + 2 * out_h * out_w) * 4
+    # padded, per-axis FIR outputs), so budget conservatively — and with
+    # the LANE-PADDED footprint: the last dim rounds up to 128 lanes, the
+    # second-to-last to 8 sublanes (a 9x9 block occupies 16x128!).
+    def padded(h_, w_):
+        return (-(-h_ // 8) * 8) * (-(-w_ // 128) * 128)
+
+    bytes_per_ch = (3 * padded(up_h, up_w) + padded(out_h, up_w)
+                    + 2 * padded(in_h, in_w) + 2 * padded(out_h, out_w)) * 4
     bc = max(1, min(m, (10 << 20) // max(bytes_per_ch, 1)))
     while m % bc != 0:
         bc -= 1

@@ -187,3 +187,21 @@ def test_inception_state_strict_rejects_unknown_and_shape():
     with pytest.raises(ValueError, match="shape mismatch"):
         inception.convert_torchvision_state(
             {"Conv2d_1a_3x3.conv.weight": bad}, strict=True)
+
+
+def test_checkpoint_2d_filters_factor_to_separable():
+    """Converters factor the stored 2-D rank-1 resample filter to 1-D taps
+    so the runtime FIR runs separably (half the shift-add work)."""
+    from latentaugment_tpu.ops.upfirdn2d import separable_factor
+
+    taps = np.array([1, 3, 3, 1], np.float64)
+    taps = taps / taps.sum()
+    f2d = np.outer(taps, taps)
+    fac = separable_factor(f2d)
+    assert fac is not None and fac.shape == (4,)
+    np.testing.assert_allclose(np.outer(fac, fac), f2d, atol=1e-7)
+    # Non-rank-1 filters pass through as None.
+    assert separable_factor(np.eye(4)) is None
+    # Asymmetric rank-1 (outer(a,b), a!=b) is rejected too: the separable
+    # FIR path applies the same taps on both axes.
+    assert separable_factor(np.outer([1, 2, 1], [1, 3, 1])) is None

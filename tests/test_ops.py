@@ -235,3 +235,37 @@ def test_upfirdn2d_pallas_gradient():
     gx = jax.grad(loss_x)(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_auto_blur_dispatch_gating():
+    """impl='auto' diverts to Pallas ONLY for single-chip TPU separable
+    up=down=1 blurs; everywhere else it must stay on XLA (GSPMD cannot
+    partition a pallas_call; CPU runs are tests)."""
+    import importlib
+
+    uf_mod = importlib.import_module("latentaugment_tpu.ops.upfirdn2d")
+    from latentaugment_tpu.ops import setup_filter
+
+    f1 = setup_filter([1, 3, 3, 1], separable=True)
+    f2 = setup_filter([1, 3, 3, 1], separable=False)
+    # On the CPU test backend, auto never selects pallas.
+    assert not uf_mod._auto_wants_pallas(f1, 1, 1)
+    # Even on TPU, non-blur and non-separable cases stay on XLA.
+    import unittest.mock as mock
+
+    import numpy as _np
+
+    wide = _np.zeros((1, 1, 128, 256))
+    narrow = _np.zeros((1, 1, 8, 9))
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert uf_mod._auto_wants_pallas(f1, 1, 1, wide)
+        assert not uf_mod._auto_wants_pallas(f1, 1, 1, narrow)  # lane waste
+        assert not uf_mod._auto_wants_pallas(f2, 1, 1, wide)  # 2-D filter
+        assert not uf_mod._auto_wants_pallas(f1, 2, 1, wide)  # upsample
+        assert not uf_mod._auto_wants_pallas(f1, 1, 2, wide)  # downsample
+        assert not uf_mod._auto_wants_pallas(None, 1, 1, wide)
+        uf_mod.set_allow_pallas_blur(False)
+        try:
+            assert not uf_mod._auto_wants_pallas(f1, 1, 1, wide)  # mesh mode
+        finally:
+            uf_mod.set_allow_pallas_blur(True)
