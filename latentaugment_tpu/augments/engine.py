@@ -461,7 +461,11 @@ class LatentAugEngine:
             from ..parallel import mesh as pmesh
 
             # GSPMD cannot partition pallas_call; keep the sharded program
-            # on pure-XLA ops so the mesh path compiles and scales.
+            # on pure-XLA ops so the mesh path compiles and scales. This is
+            # a process-wide LATCH (jit traces lazily, so a scoped flip
+            # could not cover trace time); it stays off for later
+            # single-chip engines too, which is perf-neutral — the Pallas
+            # blur measured walk-neutral in BENCH_NOTES round 2.
             set_allow_pallas_blur(False)
             batch_sharding = pmesh.batch_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)

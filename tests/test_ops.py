@@ -248,24 +248,30 @@ def test_auto_blur_dispatch_gating():
 
     f1 = setup_filter([1, 3, 3, 1], separable=True)
     f2 = setup_filter([1, 3, 3, 1], separable=False)
-    # On the CPU test backend, auto never selects pallas.
-    assert not uf_mod._auto_wants_pallas(f1, 1, 1)
-    # Even on TPU, non-blur and non-separable cases stay on XLA.
+    # A mesh engine constructed by an earlier test latches the flag off
+    # for the whole process (deliberate: GSPMD can't partition
+    # pallas_call, and the latch is perf-neutral — BENCH_NOTES round 2).
+    # This test checks the dispatch PREDICATE, so pin the flag on first.
+    prev_allow = uf_mod._ALLOW_PALLAS_BLUR
+    uf_mod.set_allow_pallas_blur(True)
     import unittest.mock as mock
 
     import numpy as _np
 
     wide = _np.zeros((1, 1, 128, 256))
     narrow = _np.zeros((1, 1, 8, 9))
-    with mock.patch("jax.default_backend", return_value="tpu"):
-        assert uf_mod._auto_wants_pallas(f1, 1, 1, wide)
-        assert not uf_mod._auto_wants_pallas(f1, 1, 1, narrow)  # lane waste
-        assert not uf_mod._auto_wants_pallas(f2, 1, 1, wide)  # 2-D filter
-        assert not uf_mod._auto_wants_pallas(f1, 2, 1, wide)  # upsample
-        assert not uf_mod._auto_wants_pallas(f1, 1, 2, wide)  # downsample
-        assert not uf_mod._auto_wants_pallas(None, 1, 1, wide)
-        uf_mod.set_allow_pallas_blur(False)
-        try:
+    try:
+        # On the CPU test backend, auto never selects pallas.
+        assert not uf_mod._auto_wants_pallas(f1, 1, 1)
+        # Even on TPU, non-blur and non-separable cases stay on XLA.
+        with mock.patch("jax.default_backend", return_value="tpu"):
+            assert uf_mod._auto_wants_pallas(f1, 1, 1, wide)
+            assert not uf_mod._auto_wants_pallas(f1, 1, 1, narrow)  # lane waste
+            assert not uf_mod._auto_wants_pallas(f2, 1, 1, wide)  # 2-D filter
+            assert not uf_mod._auto_wants_pallas(f1, 2, 1, wide)  # upsample
+            assert not uf_mod._auto_wants_pallas(f1, 1, 2, wide)  # downsample
+            assert not uf_mod._auto_wants_pallas(None, 1, 1, wide)
+            uf_mod.set_allow_pallas_blur(False)
             assert not uf_mod._auto_wants_pallas(f1, 1, 1, wide)  # mesh mode
-        finally:
-            uf_mod.set_allow_pallas_blur(True)
+    finally:
+        uf_mod.set_allow_pallas_blur(prev_allow)
