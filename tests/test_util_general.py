@@ -1,0 +1,107 @@
+"""utils/util_general full-surface tests (parity: ref utils/util_general.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from latentaugment_tpu.utils import util_general as ug
+
+
+def test_parsers():
+    assert ug.parse_comma_separated_list("a, b,c") == ["a", "b", "c"]
+    assert ug.parse_comma_separated_list(["x"]) == ["x"]
+    assert ug.parse_comma_separated_list("") == []
+    assert ug.parse_separated_list_comma(["a", "b"]) == "a,b"
+    assert ug.parse_range("1,2,5-7") == [1, 2, 5, 6, 7]
+    assert ug.parse_range([3, 4]) == [3, 4]
+    assert ug.parse_vec2("0.5,2") == (0.5, 2.0)
+    assert ug.parse_vec2((1.0, 2.0)) == (1.0, 2.0)
+    with pytest.raises(ValueError):
+        ug.parse_vec2("1,2,3")
+
+
+def test_accumulators_and_misc():
+    d = ug.list_dict()
+    d["k"].append(1)
+    assert d["k"] == [1]
+    nd = ug.nested_dict()
+    nd["a"]["b"]["c"] = 1
+    assert nd["a"]["b"]["c"] == 1
+    assert ug.maybe_min(5, None) == 5
+    assert ug.maybe_min(5, 3) == 3
+    assert ug.file_ext("x/y/IMG.PNG") == ".png"
+    assert ug.create_path("a", "b", 3) == os.path.join("a", "b", "3")
+    assert ug.format_time(42) == "42s"
+    g = ug.rgb2gray(np.ones((2, 2, 3)))
+    np.testing.assert_allclose(g, np.full((2, 2), 0.9999), atol=1e-4)
+
+
+def test_label_maps():
+    assert ug.get_idx_to_class("overall_survival", 1) == "death"
+    assert ug.get_class_to_idx("overall_survival", "alive") == 0
+    assert ug.get_idx_to_class("adaptive", 0) == "na"
+    assert ug.get_class_to_idx("adaptive", "a") == 1
+    with pytest.raises(ValueError):
+        ug.get_idx_to_class("nope", 0)
+    assert ug.iid_class().idx_to_idx_iid_class(2) == 3
+
+
+def test_run_dirs_and_files(tmp_path):
+    root = str(tmp_path / "runs")
+    d1 = ug.create_run_dir_local(root, "mod")
+    assert os.path.basename(d1) == "00000"
+    os.rename(d1, os.path.join(root, "00007--mod"))
+    open(os.path.join(root, "00007--mod", "params.txt"), "w").write("p")
+    d2 = ug.create_run_dir_local(root, "mod")
+    assert os.path.basename(d2) == "00008"
+
+    assert ug.isempty(d2)
+    f = os.path.join(d2, "a.txt")
+    open(f, "w").write("hi")
+    assert not ug.isempty(d2)
+
+    found = ug.define_source_path(root, "", source_id_run=7,
+                                  source_run_module="mod")
+    assert found.endswith("00007--mod")
+    with pytest.raises(FileNotFoundError):
+        ug.define_source_path(root, "", source_id_run=99,
+                              source_run_module="mod")
+    with pytest.raises(ValueError):
+        ug.define_source_path(root, "")
+
+    ug.delete_file(f)
+    ug.delete_file(f)  # second delete tolerated
+    assert not os.path.exists(f)
+
+
+def test_recursive_listing_and_copy(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "keep.py").write_text("x")
+    (src / "sub" / "deep.txt").write_text("y")
+    (src / "skip.pyc").write_text("z")
+    (src / "__pycache__").mkdir()
+    (src / "__pycache__" / "c.pyc").write_text("w")
+
+    pairs = ug.list_dir_recursively_with_ignore(
+        str(src), ignores=["*.pyc", "__pycache__"])
+    rels = sorted(r for _, r in pairs)
+    assert rels == ["keep.py", os.path.join("sub", "deep.txt")]
+
+    pairs_base = ug.list_dir_recursively_with_ignore(
+        str(src), ignores=["*.pyc", "__pycache__"], add_base_to_relative=True)
+    assert all(r.startswith("src") for _, r in pairs_base)
+
+    dst = tmp_path / "dst"
+    ug.copy_files_and_create_dirs(
+        [(a, os.path.join(str(dst), r)) for a, r in pairs])
+    assert (dst / "sub" / "deep.txt").read_text() == "y"
+
+
+def test_seed_all():
+    ug.seed_all(7)
+    a = np.random.rand(3)
+    ug.seed_all(7)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
