@@ -109,3 +109,10 @@ if __name__ == "__main__":
     out = args.out or os.path.join(args.run_dir, "pr_scatter.png")
     precision_recall_scatter(df, out, mode=args.mode)
     print(f"wrote {out}")
+
+
+def generate_mapping(n):
+    """Index -> letter labels for experiment legends (parity: ref
+    pr_analysis.py:60-65)."""
+    alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    return {i: alphabet[i] for i in range(n)}

@@ -149,3 +149,21 @@ if __name__ == "__main__":
     import sys
 
     run_study(checkpoint_dir=".", argv=sys.argv[1:])
+
+
+def load_stylegan(dir_model, exp_stylegan, network_pkl_stylegan):
+    """Locate `<dir_model>/<*exp_stylegan*>/<network_pkl_stylegan>` and load
+    it through the safe converter (parity: ref sg2_metrics_opt.py:36-55 /
+    sg2_metrics_analysis.py — which pickle.load the network directly;
+    here ingestion goes through the restricted unpickler).
+
+    Returns (g_params, g_cfg, d_params, d_cfg).
+    """
+    from ..models.stylegan2 import convert
+
+    matches = [x for x in os.listdir(dir_model) if exp_stylegan in x]
+    assert len(matches) == 1, \
+        f"expected exactly one run matching {exp_stylegan!r}, got {matches}"
+    path = os.path.join(dir_model, matches[0], network_pkl_stylegan)
+    print(f'Loading stylegan from "{path}"...')
+    return convert.load_stylegan(path)

@@ -120,3 +120,14 @@ if __name__ == "__main__":
     out, _, _ = manifold_coverage(inverted, sets, args.out,
                                   interactive=args.interactive)
     print(f"wrote {out}")
+
+
+def fromdir_tolist(datadir):
+    """Load every (non-hidden, sorted) pickle in a directory into a list
+    (parity: ref umap_analysis.py:21-31)."""
+    out = []
+    for fname in sorted(f for f in os.listdir(datadir)
+                        if not f.startswith(".")):
+        with open(os.path.join(datadir, fname), "rb") as f:
+            out.append(pickle.load(f))
+    return out

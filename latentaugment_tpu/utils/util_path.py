@@ -43,3 +43,17 @@ def get_filename(path):
 
 def get_parent_dir(path):
     return os.path.dirname(os.path.abspath(path))
+
+
+def listdir_nohidden(path):
+    """Yield non-hidden entry names (parity: util_path.py:32-35)."""
+    for f in os.listdir(path):
+        if not f.startswith("."):
+            yield f
+
+
+def listdir_nohidden_with_path(path):
+    """Non-hidden entries as full paths (parity: util_path.py:37-38)."""
+    import glob
+
+    return glob.glob(os.path.join(path, "*"))

@@ -4,6 +4,8 @@ tensor2im / save_image / diagnostics used by downstream image-to-image
 training loops consuming the augmented batches.
 """
 
+import os
+
 import numpy as np
 from PIL import Image
 
@@ -59,3 +61,17 @@ def print_numpy(x, val=True, shp=False):
         print("mean = %3.3f, min = %3.3f, max = %3.3f, median = %3.3f, "
               "std=%3.3f" % (np.mean(x), np.min(x), np.max(x),
                              np.median(x), np.std(x)))
+
+
+def mkdir(path):
+    """Create a directory if absent (parity: ref util_pix2pix.py:96-103)."""
+    os.makedirs(path, exist_ok=True)
+
+
+def mkdirs(paths):
+    """Create each directory in a list (parity: ref util_pix2pix.py:83-91)."""
+    if isinstance(paths, list) and not isinstance(paths, str):
+        for p in paths:
+            mkdir(p)
+    else:
+        mkdir(paths)

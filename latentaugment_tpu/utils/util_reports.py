@@ -66,6 +66,95 @@ def scatter_plot_interactive(points, labels, title="", save_path=None,
     return save_path
 
 
+def get_cmap(n, name="hsv"):
+    """Index -> distinct RGB color mapper (parity: util_reports.py:22-25)."""
+    plt = _plt()
+    return plt.cm.get_cmap(name, n)
+
+
+def plot_training(history, plot_training_dir, columns_to_plot=None,
+                  **plot_args):
+    """Plot training-history curves, one line per column, to
+    `<dir>/<title>.png` (parity: util_reports.py:27-49; pandas replaced
+    by a plain dict-of-lists)."""
+    from . import util_path
+
+    util_path.create_dir(plot_training_dir)
+    if not isinstance(history, dict):
+        history = dict(history)
+    columns = list(history.keys())
+    if columns_to_plot is not None:
+        columns = [c for c in columns if c in set(columns_to_plot)]
+
+    plt = _plt()
+    cmap = get_cmap(len(columns) + 1)
+    fig = plt.figure(figsize=(8, 6))
+    for idx, key in enumerate(columns):
+        plt.plot(np.asarray(history[key]), label=key, c=cmap(idx))
+    plt.title(plot_args.get("title", "training"))
+    plt.xlabel(plot_args.get("xlab", "epoch"))
+    plt.ylabel(plot_args.get("ylab", "loss"))
+    plt.legend()
+    out = os.path.join(plot_training_dir,
+                       f"{plot_args.get('title', 'training')}.png")
+    fig.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def embeddable_image(img):
+    """[-1,1] grayscale [H, W] -> base64 PNG data URI for Bokeh hover
+    tooltips (parity: util_reports.py:106-117)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[0]
+    img = np.clip(img, -1.0, 1.0)
+    img8 = ((img + 1) * 255 / 2).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img8, mode="L").save(buf, format="png")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def dump_images(output_dir, imgs, fname):
+    """Write each [-1,1] image as `<fname>_<i>.png` (parity:
+    util_reports.py:170-175; PIL instead of cv2)."""
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    for i, x in enumerate(np.asarray(imgs)):
+        if x.ndim == 3:
+            x = x[0]
+        x = np.clip(x, -1.0, 1.0)
+        x8 = ((x + 1) / 2 * 255.0).astype(np.uint8)
+        p = os.path.join(output_dir, f"{fname}_{i}.png")
+        Image.fromarray(x8, mode="L").save(p)
+        paths.append(p)
+    return paths
+
+
+def show_activation(x, layer, report_dir):
+    """Save a square grid of one batch item's activation channels,
+    normalized from (-1,1) (parity: util_reports.py:51-65; torchvision
+    save_image replaced by the local image_grid)."""
+    x = np.asarray(x)
+    assert x.ndim == 4  # [N, C, H, W]
+    out_dir = os.path.join(report_dir, "activations")
+    os.makedirs(out_dir, exist_ok=True)
+    grid = np.transpose(x, (1, 0, 2, 3))[:, 0]  # channels of item 0
+    nrow = int(np.sqrt(grid.shape[0]))
+    tot = max(nrow * nrow, 1)
+    grid = (np.clip(grid[:tot], -1.0, 1.0) + 1.0) / 2.0
+    return image_grid(grid, n_cols=max(nrow, 1),
+                      save_path=os.path.join(
+                          out_dir, f"activation_grid_{layer}.png"))
+
+
 def image_grid(images, n_cols=8, save_path=None, title=""):
     """Tile a batch of [N, 1, H, W] or [N, H, W] images into one PNG."""
     plt = _plt()

@@ -23,6 +23,12 @@ def is_url(s):
     return isinstance(s, str) and re.match(r"^[a-z]+://", s) is not None
 
 
+def make_cache_dir_path(*paths):
+    """Join paths under the cache root (parity: ref dnnlib-style
+    util_url.py:133-139; honors LATENTAUGMENT_CACHE_DIR)."""
+    return os.path.join(_DEFAULT_CACHE_DIR, *paths)
+
+
 def url_cache_path(url, cache_dir=None):
     cache_dir = cache_dir or _DEFAULT_CACHE_DIR
     url_md5 = hashlib.md5(url.encode("utf-8")).hexdigest()

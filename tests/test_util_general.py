@@ -105,3 +105,108 @@ def test_seed_all():
     ug.seed_all(7)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_util_io_helpers(tmp_path):
+    from latentaugment_tpu.utils import util_io as io_
+
+    assert len(io_.get_string_datetime()) == 8
+
+    lst = ["a", "b", 3]
+    p = str(tmp_path / "list.txt")
+    io_.write_list_to_file(lst, p)
+    assert io_.read_file_to_list(p) == ["a\n", "b\n", "3\n"]
+
+    # add_to_zip: patient dir of pickles -> <split>/<patient>/<file>
+    import pickle
+    import zipfile
+
+    pdir = tmp_path / "patient7"
+    pdir.mkdir()
+    for i in range(2):
+        with open(pdir / f"s{i}.pickle", "wb") as f:
+            pickle.dump({"x": i}, f)
+    zpath = str(tmp_path / "out.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        io_.add_to_zip(z, str(pdir), "train")
+    names = sorted(zipfile.ZipFile(zpath).namelist())
+    assert names == [os.path.join("train", "patient7", "s0.pickle"),
+                     os.path.join("train", "patient7", "s1.pickle")]
+
+
+def test_util_path_listdir(tmp_path):
+    from latentaugment_tpu.utils import util_path as up
+
+    (tmp_path / "visible.txt").write_text("x")
+    (tmp_path / ".hidden").write_text("y")
+    assert list(up.listdir_nohidden(str(tmp_path))) == ["visible.txt"]
+    assert [os.path.basename(p)
+            for p in up.listdir_nohidden_with_path(str(tmp_path))] == \
+        ["visible.txt"]
+
+
+def test_util_reports_helpers(tmp_path):
+    from latentaugment_tpu.utils import util_reports as ur
+
+    cmap = ur.get_cmap(3)
+    assert len(cmap(0)) == 4  # RGBA
+
+    out = ur.plot_training({"loss": [3, 2, 1], "acc": [0.1, 0.5, 0.9]},
+                           str(tmp_path), title="curves")
+    assert os.path.isfile(out)
+
+    uri = ur.embeddable_image(np.zeros((8, 8), np.float32))
+    assert uri.startswith("data:image/png;base64,")
+
+    imgs = np.random.RandomState(0).rand(3, 1, 8, 8) * 2 - 1
+    paths = ur.dump_images(str(tmp_path / "dump"), imgs, "img")
+    assert len(paths) == 3 and all(os.path.isfile(p) for p in paths)
+
+    act = np.random.RandomState(1).rand(2, 9, 8, 8).astype(np.float32)
+    p = ur.show_activation(act, layer="b1", report_dir=str(tmp_path))
+    assert os.path.isfile(p)
+
+
+def test_util_url_cache_path(monkeypatch, tmp_path):
+    import importlib
+
+    monkeypatch.setenv("LATENTAUGMENT_CACHE_DIR", str(tmp_path))
+    from latentaugment_tpu.utils import util_url
+
+    importlib.reload(util_url)
+    assert util_url.make_cache_dir_path("a", "b") == str(tmp_path / "a" / "b")
+    importlib.reload(util_url)  # restore module-level default afterwards
+
+
+def test_analysis_parity_helpers(tmp_path):
+    import pickle
+
+    from PIL import Image
+
+    from latentaugment_tpu.analysis import create_gif as cg
+    from latentaugment_tpu.analysis import pr_analysis, umap_analysis
+
+    assert pr_analysis.generate_mapping(2) == {0: "A", 1: "B"}
+
+    # fromdir_tolist: sorted non-hidden pickles
+    d = tmp_path / "pkls"
+    d.mkdir()
+    for i in [1, 0]:
+        with open(d / f"{i}.pickle", "wb") as f:
+            pickle.dump(i, f)
+    (d / ".hidden").write_text("x")
+    assert umap_analysis.fromdir_tolist(str(d)) == [0, 1]
+
+    # create_gif_hstack pairs img/latent snapshots per epoch
+    s = tmp_path / "snaps"
+    s.mkdir()
+    for e in range(3):
+        Image.new("RGB", (32, 32), (e * 40, 0, 0)).save(s / f"img_{e}.png")
+        Image.new("RGB", (16, 16), (0, e * 40, 0)).save(
+            s / f"latent_{e}.png")
+    out = cg.create_gif_hstack(str(s), latent_size=(32, 32))
+    img = Image.open(out)
+    assert img.size == (64, 32) and getattr(img, "n_frames", 1) == 3
+
+    framed = cg.add_text_to_image(Image.new("RGB", (64, 64)), "epoch 1")
+    assert framed.size == (64, 64)
