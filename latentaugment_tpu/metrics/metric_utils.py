@@ -430,12 +430,21 @@ def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None
     psi = float(opts.G_kwargs.get("truncation_psi", 1.0))
 
     # g_params is a jit ARGUMENT (not a closure constant) — see _Detector.
+    # Conditional generators sample one-hot labels per batch (parity:
+    # reference iterate_random_labels, metric_utils.py; without dataset
+    # labels plumbed in, classes are drawn uniformly).
+    c_dim = int(g_cfg.get("c_dim", 0) or 0)
+
     @jax.jit
     def gen(params, key):
-        kz, kn = jax.random.split(key)
+        kz, kn, kc = jax.random.split(key, 3)
         z = jax.random.normal(kz, (batch_gen, g_cfg.z_dim))
+        c = None
+        if c_dim > 0:
+            idx = jax.random.randint(kc, (batch_gen,), 0, c_dim)
+            c = jax.nn.one_hot(idx, c_dim)
         img = networks.generator_apply(
-            params, g_cfg, z, noise_mode="random", rng=kn,
+            params, g_cfg, z, c, noise_mode="random", rng=kn,
             truncation_psi=psi)
         return jnp.clip(img * 127.5 + 128.0, 0, 255)
 

@@ -254,6 +254,7 @@ def infer_generator_config(payload, img_resolution=None, img_channels=None):
         channel_base=syn.get("channel_base", 32768),
         channel_max=syn.get("channel_max", 512),
         num_mapping_layers=mapping.get("num_layers", 8),
+        embed_features=mapping.get("embed_features"),
         conv_clamp=syn.get("conv_clamp", 256),
         num_fp16_res=0,  # bf16 selection is a runtime knob on TPU
     )
@@ -263,8 +264,11 @@ def infer_discriminator_config(payload, img_resolution=None, img_channels=None):
     kwargs = _payload_init_kwargs(payload)
     block = kwargs.get("block_kwargs", {}) or {}
     epilogue = kwargs.get("epilogue_kwargs", {}) or {}
+    mapping = kwargs.get("mapping_kwargs", {}) or {}
     return networks.discriminator_config(
         c_dim=kwargs.get("c_dim", 0),
+        cmap_dim=epilogue.get("cmap_dim", kwargs.get("cmap_dim")),
+        num_mapping_layers=mapping.get("num_layers", 8),
         img_resolution=img_resolution or kwargs.get("img_resolution", 256),
         img_channels=img_channels or kwargs.get("img_channels", 2),
         channel_base=kwargs.get("channel_base", 32768),
@@ -451,9 +455,10 @@ def _cfg_kwargs(cfg, kind):
     if kind == "G":
         keys = ("z_dim", "c_dim", "w_dim", "img_resolution", "img_channels",
                 "channel_base", "channel_max", "num_mapping_layers", "conv_clamp",
-                "num_fp16_res", "mapping_lr_multiplier")
+                "num_fp16_res", "mapping_lr_multiplier", "embed_features")
     else:
         keys = ("c_dim", "img_resolution", "img_channels", "channel_base",
                 "channel_max", "conv_clamp", "num_fp16_res", "mbstd_group_size",
-                "mbstd_num_channels")
+                "mbstd_num_channels", "cmap_dim", "num_mapping_layers",
+                "mapping_lr_multiplier")
     return {k: cfg[k] for k in keys if k in cfg}

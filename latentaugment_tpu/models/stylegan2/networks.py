@@ -39,13 +39,20 @@ from ...utils.util_easydict import EasyDict
 def generator_config(z_dim=512, c_dim=0, w_dim=512, img_resolution=256,
                      img_channels=2, channel_base=32768, channel_max=512,
                      num_mapping_layers=8, conv_clamp=256, num_fp16_res=0,
-                     mapping_lr_multiplier=0.01):
+                     mapping_lr_multiplier=0.01, embed_features=None):
+    # Conditional G: class labels enter through a linear embed whose output
+    # is 2nd-moment-normalized and concatenated with normalized z (the
+    # pickle-embedded MappingNetwork contract; SURVEY §1 note). Default
+    # embed width = w_dim, 0 when unconditional.
+    if embed_features is None:
+        embed_features = w_dim if c_dim > 0 else 0
     cfg = EasyDict(z_dim=z_dim, c_dim=c_dim, w_dim=w_dim,
                    img_resolution=img_resolution, img_channels=img_channels,
                    channel_base=channel_base, channel_max=channel_max,
                    num_mapping_layers=num_mapping_layers, conv_clamp=conv_clamp,
                    num_fp16_res=num_fp16_res,
-                   mapping_lr_multiplier=mapping_lr_multiplier)
+                   mapping_lr_multiplier=mapping_lr_multiplier,
+                   embed_features=embed_features)
     cfg.block_resolutions = [2 ** i for i in range(2, int(math.log2(img_resolution)) + 1)]
     cfg.channels = {res: min(channel_base // res, channel_max) for res in cfg.block_resolutions}
     # num_ws: one w per conv, plus one for the final toRGB.
@@ -58,16 +65,35 @@ def generator_config(z_dim=512, c_dim=0, w_dim=512, img_resolution=256,
 
 def discriminator_config(c_dim=0, img_resolution=256, img_channels=2,
                          channel_base=32768, channel_max=512, conv_clamp=256,
-                         num_fp16_res=0, mbstd_group_size=4, mbstd_num_channels=1):
+                         num_fp16_res=0, mbstd_group_size=4, mbstd_num_channels=1,
+                         cmap_dim=None, num_mapping_layers=8,
+                         mapping_lr_multiplier=0.01):
     cfg = EasyDict(c_dim=c_dim, img_resolution=img_resolution,
                    img_channels=img_channels, channel_base=channel_base,
                    channel_max=channel_max, conv_clamp=conv_clamp,
                    num_fp16_res=num_fp16_res, mbstd_group_size=mbstd_group_size,
-                   mbstd_num_channels=mbstd_num_channels)
+                   mbstd_num_channels=mbstd_num_channels,
+                   num_mapping_layers=num_mapping_layers,
+                   mapping_lr_multiplier=mapping_lr_multiplier)
     cfg.block_resolutions = [2 ** i for i in range(int(math.log2(img_resolution)), 2, -1)]
     cfg.channels = {res: min(channel_base // res, channel_max)
                     for res in cfg.block_resolutions + [4]}
+    # Conditional D: the epilogue's 'out' FC widens to cmap_dim and the
+    # logit is the projection <out, mapping(c)> / sqrt(cmap_dim).
+    if cmap_dim is None:
+        cmap_dim = cfg.channels[4] if c_dim > 0 else 0
+    cfg.cmap_dim = cmap_dim
     return cfg
+
+
+def _cmap_mapping_cfg(cfg):
+    """Config for D's label-mapping network: the pickle-embedded contract is
+    MappingNetwork(z_dim=0, c_dim, w_dim=cmap_dim) — embed + 8 FC layers,
+    no w_avg, no broadcast."""
+    return EasyDict(z_dim=0, c_dim=cfg.c_dim, w_dim=cfg.cmap_dim,
+                    num_mapping_layers=cfg.num_mapping_layers,
+                    mapping_lr_multiplier=cfg.mapping_lr_multiplier,
+                    embed_features=cfg.cmap_dim, num_ws=0)
 
 
 # ----------------------------------------------------------------------------
@@ -120,21 +146,38 @@ def conv_apply(p, x, f=None, up=1, down=1, activation='linear', gain=1.0,
 # ----------------------------------------------------------------------------
 # Mapping network
 
-def mapping_init(key, cfg):
-    keys = jax.random.split(key, cfg.num_mapping_layers + 1)
+def mapping_init(key, cfg, with_w_avg=True):
+    keys = jax.random.split(key, cfg.num_mapping_layers + 2)
     p = {}
-    features = [cfg.z_dim] + [cfg.w_dim] * cfg.num_mapping_layers
+    embed_features = int(cfg.get('embed_features', 0) or 0)
+    features = [cfg.z_dim + embed_features] + [cfg.w_dim] * cfg.num_mapping_layers
     for i in range(cfg.num_mapping_layers):
         p[f'fc{i}'] = _fc_init(keys[i], features[i], features[i + 1])
-    p['w_avg'] = jnp.zeros((cfg.w_dim,), dtype=jnp.float32)
+    if cfg.c_dim > 0:
+        # Label embed: plain FC (lr_mult 1, unlike the 0.01 mapping FCs).
+        p['embed'] = _fc_init(keys[cfg.num_mapping_layers], cfg.c_dim,
+                              embed_features)
+    if with_w_avg:
+        p['w_avg'] = jnp.zeros((cfg.w_dim,), dtype=jnp.float32)
     return p
+
+
+def _normalize_2nd_moment(x):
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + 1e-8)
 
 
 def mapping_apply(params, cfg, z, c=None, truncation_psi=1.0, truncation_cutoff=None,
                   broadcast=True):
-    """z -> w (+ optional truncation toward w_avg, + broadcast to num_ws)."""
-    x = z.astype(jnp.float32)
-    x = x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=1, keepdims=True) + 1e-8)
+    """z (and one-hot c when c_dim > 0) -> w (+ optional truncation toward
+    w_avg, + broadcast to num_ws)."""
+    x = None
+    if cfg.z_dim > 0:
+        x = _normalize_2nd_moment(z.astype(jnp.float32))
+    if cfg.c_dim > 0:
+        assert c is not None, "c_dim > 0 requires labels c [N, c_dim]"
+        y = _normalize_2nd_moment(
+            fc_apply(params['embed'], c.astype(jnp.float32)))
+        x = y if x is None else jnp.concatenate([x, y], axis=1)
     for i in range(cfg.num_mapping_layers):
         x = fc_apply(params[f'fc{i}'], x, activation='lrelu',
                      lr_multiplier=cfg.mapping_lr_multiplier)
@@ -366,12 +409,17 @@ def discriminator_init(key, cfg):
                                         tmp_ch, out_ch, cfg.img_channels, first)
         first = False
     ch4 = cfg.channels[4]
+    cmap_dim = int(cfg.get('cmap_dim', 0) or 0)
     ep = {
         'conv': _conv_init(jax.random.fold_in(key, 1), ch4 + cfg.mbstd_num_channels, ch4, 3),
         'fc': _fc_init(jax.random.fold_in(key, 2), ch4 * 4 * 4, ch4),
-        'out': _fc_init(jax.random.fold_in(key, 3), ch4, 1),
+        'out': _fc_init(jax.random.fold_in(key, 3), ch4,
+                        1 if cmap_dim == 0 else cmap_dim),
     }
     p['b4'] = ep
+    if cfg.c_dim > 0:
+        p['mapping'] = mapping_init(jax.random.fold_in(key, 4),
+                                    _cmap_mapping_cfg(cfg), with_w_avg=False)
     p['resample_filter'] = setup_filter([1, 3, 3, 1], separable=True)
     return p
 
@@ -416,4 +464,11 @@ def discriminator_apply(params, cfg, img, c=None, remat=False):
     x = x.reshape(x.shape[0], -1)
     x = fc_apply(ep['fc'], x, activation='lrelu')
     x = fc_apply(ep['out'], x)
+    if cfg.c_dim > 0:
+        # Projection discriminator: logit = <out, mapping(c)> / sqrt(cmap_dim)
+        # (pickle-embedded DiscriminatorEpilogue contract).
+        cmap = mapping_apply(params['mapping'], _cmap_mapping_cfg(cfg),
+                             None, c, broadcast=False)
+        x = jnp.sum(x * cmap, axis=1, keepdims=True) \
+            * float(1.0 / np.sqrt(cfg.cmap_dim))
     return x

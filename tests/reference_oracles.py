@@ -295,22 +295,38 @@ class SynthesisBlockT(torch.nn.Module):
 
 
 class MappingNetworkT(torch.nn.Module):
-    def __init__(self, z_dim, w_dim, num_ws, num_layers=2, lr_multiplier=0.01):
+    def __init__(self, z_dim, w_dim, num_ws, num_layers=2, lr_multiplier=0.01,
+                 c_dim=0, embed_features=None, with_w_avg=True):
         super().__init__()
         self.num_ws, self.num_layers = num_ws, num_layers
+        self.z_dim, self.c_dim = z_dim, c_dim
+        if embed_features is None:
+            embed_features = w_dim if c_dim > 0 else 0
+        in0 = z_dim + embed_features
         for i in range(num_layers):
             setattr(self, f"fc{i}",
-                    FullyConnectedT(z_dim if i == 0 else w_dim, w_dim,
+                    FullyConnectedT(in0 if i == 0 else w_dim, w_dim,
                                     activation="lrelu",
                                     lr_multiplier=lr_multiplier))
-        self.register_buffer("w_avg", torch.zeros(w_dim))
+        if c_dim > 0:
+            self.embed = FullyConnectedT(c_dim, embed_features)
+        if with_w_avg:
+            self.register_buffer("w_avg", torch.zeros(w_dim))
 
-    def forward(self, z, truncation_psi=1.0):
-        x = z * (z.square().mean(dim=1, keepdim=True) + 1e-8).rsqrt()
+    def forward(self, z, c=None, truncation_psi=1.0):
+        def norm2(t):
+            return t * (t.square().mean(dim=1, keepdim=True) + 1e-8).rsqrt()
+
+        x = norm2(z) if self.z_dim > 0 else None
+        if self.c_dim > 0:
+            y = norm2(self.embed(c))
+            x = y if x is None else torch.cat([x, y], dim=1)
         for i in range(self.num_layers):
             x = getattr(self, f"fc{i}")(x)
         if truncation_psi != 1.0:
             x = self.w_avg + truncation_psi * (x - self.w_avg)
+        if self.num_ws is None:
+            return x
         return x.unsqueeze(1).repeat(1, self.num_ws, 1)
 
 
@@ -335,7 +351,7 @@ class GeneratorT(torch.nn.Module):
                           for r in self.block_resolutions) + 1
         self.mapping = MappingNetworkT(
             z_dim, w_dim, self.num_ws,
-            num_layers=mapping_kwargs.get("num_layers", 2))
+            num_layers=mapping_kwargs.get("num_layers", 2), c_dim=c_dim)
         self.synthesis = _SynthesisNetworkT(self.block_resolutions, channels,
                                             w_dim, img_channels, clamp)
         # What @persistent_class's Decorator.__init__ records:
@@ -346,8 +362,8 @@ class GeneratorT(torch.nn.Module):
                                  mapping_kwargs=dict(mapping_kwargs),
                                  synthesis_kwargs=dict(synthesis_kwargs))
 
-    def forward(self, z, truncation_psi=1.0, noise_mode="const"):
-        ws = self.mapping(z, truncation_psi=truncation_psi)
+    def forward(self, z, c=None, truncation_psi=1.0, noise_mode="const"):
+        ws = self.mapping(z, c, truncation_psi=truncation_psi)
         return self.synthesis(ws, noise_mode=noise_mode)
 
 
@@ -415,8 +431,9 @@ class DiscriminatorT(torch.nn.Module):
     def __init__(self, c_dim=0, img_resolution=32, img_channels=2,
                  channel_base=1024, channel_max=64, conv_clamp=256,
                  mbstd_group_size=4, mbstd_num_channels=1, block_kwargs=None,
-                 epilogue_kwargs=None):
+                 epilogue_kwargs=None, mapping_kwargs=None):
         super().__init__()
+        mapping_kwargs = mapping_kwargs or {}
         self.c_dim = c_dim
         self.img_resolution, self.img_channels = img_resolution, img_channels
         self.mbstd_group_size = mbstd_group_size
@@ -434,11 +451,18 @@ class DiscriminatorT(torch.nn.Module):
                                         conv_clamp=conv_clamp))
             first = False
         ch4 = channels[4]
+        self.cmap_dim = ch4 if c_dim > 0 else 0
         self.b4 = torch.nn.Module()
         self.b4.conv = Conv2dLayerT(ch4 + mbstd_num_channels, ch4, 3,
                                     activation="lrelu", conv_clamp=conv_clamp)
         self.b4.fc = FullyConnectedT(ch4 * 16, ch4, activation="lrelu")
-        self.b4.out = FullyConnectedT(ch4, 1)
+        self.b4.out = FullyConnectedT(
+            ch4, 1 if self.cmap_dim == 0 else self.cmap_dim)
+        if c_dim > 0:
+            self.mapping = MappingNetworkT(
+                0, self.cmap_dim, None,
+                num_layers=mapping_kwargs.get("num_layers", 2), c_dim=c_dim,
+                embed_features=self.cmap_dim, with_w_avg=False)
         self._init_args = ()
         self._init_kwargs = dict(c_dim=c_dim, img_resolution=img_resolution,
                                  img_channels=img_channels,
@@ -446,9 +470,10 @@ class DiscriminatorT(torch.nn.Module):
                                  channel_max=channel_max,
                                  conv_clamp=conv_clamp,
                                  mbstd_group_size=mbstd_group_size,
-                                 mbstd_num_channels=mbstd_num_channels)
+                                 mbstd_num_channels=mbstd_num_channels,
+                                 mapping_kwargs=dict(mapping_kwargs))
 
-    def forward(self, img):
+    def forward(self, img, c=None):
         x = None
         for res in self.block_resolutions:
             x = getattr(self, f"b{res}")(x, img)
@@ -456,7 +481,12 @@ class DiscriminatorT(torch.nn.Module):
                                    self.mbstd_num_channels)
         x = self.b4.conv(x)
         x = self.b4.fc(x.reshape(x.shape[0], -1))
-        return self.b4.out(x)
+        x = self.b4.out(x)
+        if self.cmap_dim > 0:
+            cmap = self.mapping(None, c)
+            x = (x * cmap).sum(dim=1, keepdim=True) \
+                * (1.0 / np.sqrt(self.cmap_dim))
+        return x
 
 
 # ---------------------------------------------------------------------------
