@@ -405,6 +405,33 @@ def compute_feature_stats_for_aug_dataset(opts, detector_url, detector_kwargs=No
     return stats
 
 
+def _dataset_label_bank(opts, c_dim, max_items=10000):
+    """Label matrix [N, c_dim] from the real dataset's distribution when
+    opts.dataset_kwargs names a labeled SG2 training zip (use_labels);
+    None falls back to uniform one-hot sampling. Parity: the reference
+    feeds dataset.get_label(randint) per sample (metric_utils.py:337-344).
+    """
+    dk = opts.dataset_kwargs
+    if not dk or not dk.get("use_labels"):
+        return None
+    try:
+        from ..models.stylegan2.dataset import CustomImageFolderDataset
+
+        ds = CustomImageFolderDataset(
+            path=dk["path"], modalities=dk.get("modalities", []),
+            split=dk.get("split", "train"), use_labels=True)
+        if not ds.has_labels or ds.label_dim != c_dim:
+            print(f"[metrics] WARNING: dataset label_dim != G c_dim "
+                  f"({ds.label_shape} vs {c_dim}); sampling uniform labels")
+            return None
+        n = min(len(ds), max_items)
+        return np.stack([ds.get_label(i) for i in range(n)]).astype(np.float32)
+    except (OSError, KeyError, ValueError) as e:
+        print(f"[metrics] WARNING: could not read dataset labels ({e}); "
+              "sampling uniform one-hot labels")
+        return None
+
+
 def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None,
                                         mode_dict=None, rel_lo=0, rel_hi=1,
                                         batch_size=64, batch_gen=None,
@@ -430,17 +457,20 @@ def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None
     psi = float(opts.G_kwargs.get("truncation_psi", 1.0))
 
     # g_params is a jit ARGUMENT (not a closure constant) — see _Detector.
-    # Conditional generators sample one-hot labels per batch (parity:
-    # reference iterate_random_labels, metric_utils.py; without dataset
-    # labels plumbed in, classes are drawn uniformly).
+    # Conditional generators draw labels per batch (parity: reference
+    # iterate_random_labels, metric_utils.py:337-344 — labels come from
+    # the REAL dataset's distribution when available; uniform one-hot
+    # otherwise).
     c_dim = int(g_cfg.get("c_dim", 0) or 0)
+    label_bank = None
+    if c_dim > 0:
+        label_bank = _dataset_label_bank(opts, c_dim)
 
     @jax.jit
-    def gen(params, key):
+    def gen(params, key, c=None):
         kz, kn, kc = jax.random.split(key, 3)
         z = jax.random.normal(kz, (batch_gen, g_cfg.z_dim))
-        c = None
-        if c_dim > 0:
+        if c_dim > 0 and c is None:
             idx = jax.random.randint(kc, (batch_gen,), 0, c_dim)
             c = jax.nn.one_hot(idx, c_dim)
         img = networks.generator_apply(
@@ -454,9 +484,14 @@ def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None
         g_params = jax.device_put(g_params, pmesh.replicated(opts.mesh))
 
     key = jax.random.PRNGKey(opts.G_kwargs.get("seed", 0))
+    label_rng = np.random.RandomState(opts.G_kwargs.get("seed", 0))
     while not stats.is_full():
         key, sub = jax.random.split(key)
-        images = gen(g_params, sub)
+        c = None
+        if label_bank is not None:
+            c = jnp.asarray(label_bank[
+                label_rng.randint(0, label_bank.shape[0], batch_gen)])
+        images = gen(g_params, sub, c)
         x = images
         if mode_idx is not None and x.shape[1] > 1:
             x = x[:, mode_idx:mode_idx + 1]

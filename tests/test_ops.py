@@ -275,3 +275,47 @@ def test_auto_blur_dispatch_gating():
             assert not uf_mod._auto_wants_pallas(f1, 1, 1, wide)  # mesh mode
     finally:
         uf_mod.set_allow_pallas_blur(prev_allow)
+
+
+def test_upfirdn2d_fuzz_vs_ref():
+    """Seeded sweep of random (up, down, padding incl. crops, anisotropy,
+    filter size, separability, gain) configs: impl='xla' (the TPU
+    shift-add fast path) must match impl='ref' (the literal op
+    definition) everywhere, including gradients on a subset."""
+    import jax
+
+    rng = np.random.RandomState(1234)
+    checked = 0
+    for trial in range(40):
+        upx, upy = rng.randint(1, 4), rng.randint(1, 4)
+        downx, downy = rng.randint(1, 4), rng.randint(1, 4)
+        h, w = rng.randint(5, 12), rng.randint(5, 12)
+        taps = rng.randint(1, 6)
+        separable = bool(rng.randint(0, 2))
+        f_np = rng.rand(taps) + 0.25
+        pad = [int(p) for p in rng.randint(-2, 4, size=4)]
+        # Validity: the padded/upsampled extent must cover the filter.
+        eff_w = w * upx + pad[0] + pad[1]
+        eff_h = h * upy + pad[2] + pad[3]
+        if eff_w < taps or eff_h < taps:
+            continue
+        gain = float(rng.choice([1.0, 2.0]))
+        flip = bool(rng.randint(0, 2))
+        f = setup_filter(f_np, separable=separable)
+        x = jnp.asarray(rng.randn(2, 2, h, w).astype(np.float32))
+        kw = dict(up=(upx, upy), down=(downx, downy), padding=pad,
+                  flip_filter=flip, gain=gain)
+        a = upfirdn2d(x, f, impl="xla", **kw)
+        b = upfirdn2d(x, f, impl="ref", **kw)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"trial {trial}: {kw} taps={taps} sep={separable}")
+        if trial % 8 == 0:
+            ga = jax.grad(lambda t: jnp.sum(
+                upfirdn2d(t, f, impl="xla", **kw) ** 2))(x)
+            gb = jax.grad(lambda t: jnp.sum(
+                upfirdn2d(t, f, impl="ref", **kw) ** 2))(x)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=2e-4, atol=2e-5)
+        checked += 1
+    assert checked >= 25, f"only {checked} valid configs drawn"
