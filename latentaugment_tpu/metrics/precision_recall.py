@@ -62,6 +62,15 @@ def knn_precision_recall(real_features, gen_features, nhood_size=3,
                          mesh=None):
     """Core PR computation on feature arrays."""
     results = {}
+    max_nhood = min(real_features.shape[0], gen_features.shape[0]) - 1
+    if nhood_size > max_nhood:
+        # Degenerate demo-size sets: the kNN radius needs nhood_size
+        # neighbors besides self. Clamp + warn rather than crash (real
+        # runs use 10-50k items and never hit this).
+        print(f"[metrics] WARNING: nhood_size {nhood_size} > n-1 "
+              f"({max_nhood}); clamping — PR values are degenerate at "
+              "this sample count")
+        nhood_size = max(max_nhood, 1)
     for name, manifold, probes in [("precision", real_features, gen_features),
                                    ("recall", gen_features, real_features)]:
         kth = []

@@ -1,0 +1,139 @@
+"""One-command demo of the full LatentAugment pipeline (the paper's
+evaluation loop): augment a dataset -> dump augmented pairs/latents ->
+FID + precision/recall per modality -> UMAP manifold-coverage plot ->
+optimization-trajectory GIF.
+
+Chains the same components the reference drives through four separate
+scripts (backbone_latentaug.py, analysis/sg2_metrics_analysis.py,
+analysis/umap_analysis.py, misc/create_gif.py).
+
+    python scripts/run_pipeline.py --synthetic            # zero-download demo
+    python scripts/run_pipeline.py --dataroot ... --model_dir ...   # real data
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def pop_flag(name, default=None, is_bool=False):
+        if name in argv:
+            i = argv.index(name)
+            argv.pop(i)
+            return True if is_bool else argv.pop(i)
+        return default
+
+    synthetic = pop_flag("--synthetic", False, is_bool=True)
+    n_imgs = int(pop_flag("--n_imgs", "32"))
+    if pop_flag("--cpu", False, is_bool=True) \
+            or os.environ.get("LATAUG_PIPELINE_FORCE_CPU"):
+        # The axon sitecustomize pins a remote TPU; JAX_PLATFORMS env is
+        # ignored there — only the config update works (CLAUDE.md).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if synthetic:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="lataug_pipeline_")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests"))
+        from synthetic import build_workspace
+
+        ws = build_workspace(root)
+        argv = ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
+                             "--w_pix", "0.1", "--w_lpips", "1.0",
+                             "--w_latent", "0.001", "--w_disc", "0.01",
+                             "--opt_num_epochs", "2", "--verbose_log", "1",
+                             "--batch_size", "1",
+                             "--name", "pipeline_demo"] + argv
+
+    from latentaugment_tpu.analysis import create_gif, umap_analysis
+    from latentaugment_tpu.augments import create_augment
+    from latentaugment_tpu.data import create_dataset
+    from latentaugment_tpu.metrics.metric_main_mi_multimodal import calc_metric
+    from latentaugment_tpu.options import AugOptions
+    from latentaugment_tpu.utils import util_general, util_io, util_path
+
+    opt = AugOptions().parse(argv=argv, install_logger=False)
+    outdir = os.path.join(opt.checkpoints_dir, opt.name)
+    for sub in ("img_aug", "latent_aug", "snap"):
+        util_path.create_dir(os.path.join(outdir, sub))
+
+    # ---- Stage 1: augment + dump -------------------------------------
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+    print(f"[pipeline] augmenting {n_imgs} images "
+          f"({len(dataset)} in dataset)")
+    n_iter = max(1, n_imgs // opt.batch_size)
+    w_in, w_out = [], []
+    for i, data in enumerate(dataset):
+        if i >= n_iter:
+            break
+        augment.set_input(data)
+        augment.forward()
+        out = augment.get_output()
+        util_io.write_pickle(out, os.path.join(outdir, "img_aug",
+                                               f"img_aug_{i}"))
+        lat = augment.get_latent_output()
+        util_io.write_pickle(lat, os.path.join(outdir, "latent_aug",
+                                               f"latent_aug_{i}"))
+        # batch-1 outputs are squeezed to [w_dim]; restore the batch dim.
+        w_in.append(np.atleast_2d(np.asarray(augment.get_latent_input()["w"])))
+        w_out.append(np.atleast_2d(np.asarray(lat["w"])))
+
+    # ---- Stage 2: metrics (FID + PR per modality) --------------------
+    modalities = util_general.parse_comma_separated_list(opt.modalities_aug)
+    dataset_kwargs = dict(
+        path=os.path.join(opt.interim_dir, opt.dataset_aug,
+                          opt.dataset_name_aug + ".zip"),
+        split="train", modalities=modalities, resolution=opt.img_resolution)
+    dataset_kwargs_gen = dict(dataroot=outdir, aug_name=opt.name,
+                              batch_size=opt.batch_size)
+    results = []
+    for mode_idx, mode in enumerate(modalities):
+        for metric in ("fid50k_full", "pr50k3_full"):
+            res = calc_metric(metric, dataset_kwargs=dataset_kwargs,
+                              dataset_kwargs_gen=dataset_kwargs_gen,
+                              mode_dict=dict(mode_name=mode,
+                                             mode_idx=mode_idx))
+            results.append((metric, mode, dict(res.results)))
+            print(f"[pipeline] {metric}/{mode}: {dict(res.results)}")
+    util_io.write_json(
+        [dict(metric=m, mode=mo, results=r) for m, mo, r in results],
+        os.path.join(outdir, "pipeline_metrics.json"))
+
+    # ---- Stage 3: UMAP manifold coverage -----------------------------
+    w_in = np.concatenate(w_in, axis=0)
+    w_out = np.concatenate(w_out, axis=0)
+    umap_path = os.path.join(outdir, "umap_coverage.png")
+    umap_analysis.manifold_coverage(
+        w_in, {"LatentAugment": w_out}, umap_path)
+    print(f"[pipeline] UMAP coverage plot: {umap_path}")
+
+    # ---- Stage 4: trajectory GIF (the engine's verbose batch-1 debug
+    # walk wrote per-epoch snapshots into its save_dir) ----------------
+    engine = getattr(augment, "latent_aug", None)
+    snap_dir = getattr(engine, "save_dir", None)
+    gifs = []
+    if snap_dir and os.path.isdir(snap_dir) and any(
+            f.endswith(".png") for f in os.listdir(snap_dir)):
+        gifs = create_gif.create_gif(snap_dir)
+        print(f"[pipeline] trajectory GIFs: {gifs}")
+    else:
+        print("[pipeline] no snapshots (run with --verbose_log for GIFs)")
+
+    print(f"[pipeline] DONE — outputs under {outdir}")
+    return outdir, results
+
+
+if __name__ == "__main__":
+    main()
