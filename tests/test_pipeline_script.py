@@ -14,7 +14,7 @@ def test_pipeline_end_to_end():
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_pipeline.py"),
          "--synthetic", "--n_imgs", "4"],
-        capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=1500, env=env, cwd=REPO)
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
     out = res.stdout
     assert "fid50k_full/MR_nonrigid_CT" in out
