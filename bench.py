@@ -110,11 +110,14 @@ def main():
     # Best of 2 chains: the relay sporadically stalls a single execution
     # for seconds-to-minutes (measured — BENCH_NOTES.md round 2); one
     # stalled exec inside the only chain would corrupt the round metric.
-    dt_total = min(run_chain(iters), run_chain(iters))
+    # BOTH chain times are reported (stderr + JSON) so a relay stall is
+    # distinguishable from a genuine regression (round-2 VERDICT weak #6).
+    chains = [run_chain(iters), run_chain(iters)]
+    dt_total = min(chains)
     dt = dt_total / iters
     sps = batch / dt
-    print(f"[bench] warm single-batch {warm:.3f}s; best "
-          f"{iters}-iter chain {dt_total:.3f}s -> {dt:.3f}s/batch",
+    print(f"[bench] warm single-batch {warm:.3f}s; {iters}-iter chains "
+          f"[{chains[0]:.3f}s, {chains[1]:.3f}s] -> best {dt:.3f}s/batch",
           file=sys.stderr)
 
     vs = sps / A5000_BASELINE_SAMPLES_PER_SEC if on_tpu else 0.0
@@ -129,6 +132,8 @@ def main():
         "vs_baseline": round(vs, 3),
         "batch": batch,
         "oom_fallback": batch != requested_batch,
+        "chains_s": [round(c, 3) for c in chains],
+        "warm_single_batch_s": round(warm, 3),
     }))
 
 

@@ -20,6 +20,7 @@ import os
 import pickle
 import time
 import uuid
+import zipfile
 
 import numpy as np
 
@@ -426,10 +427,14 @@ def _dataset_label_bank(opts, c_dim, max_items=10000):
             return None
         n = min(len(ds), max_items)
         return np.stack([ds.get_label(i) for i in range(n)]).astype(np.float32)
-    except (OSError, KeyError, ValueError) as e:
-        print(f"[metrics] WARNING: could not read dataset labels ({e}); "
-              "sampling uniform one-hot labels")
-        return None
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:
+        # use_labels=True is an explicit request: the reference always
+        # draws labels from the dataset (metric_utils.py:337-344), so a
+        # silent uniform fallback here would skew conditional FID without
+        # the caller noticing. Fail loudly instead.
+        raise RuntimeError(
+            f"use_labels=True but dataset labels could not be read from "
+            f"{dk.get('path')!r}: {e}") from e
 
 
 def compute_feature_stats_for_generator(opts, detector_url, detector_kwargs=None,

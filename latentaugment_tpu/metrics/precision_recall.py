@@ -63,14 +63,20 @@ def knn_precision_recall(real_features, gen_features, nhood_size=3,
     """Core PR computation on feature arrays."""
     results = {}
     max_nhood = min(real_features.shape[0], gen_features.shape[0]) - 1
+    if max_nhood < 1:
+        # A 1-item (or empty) feature set has no neighbor besides self;
+        # the kNN radius is undefined. Report 0/0 instead of crashing in
+        # np.partition (real runs use 10-50k items and never hit this).
+        print("[metrics] WARNING: fewer than 2 items in a feature set; "
+              "precision/recall are undefined — reporting 0.0/0.0")
+        return 0.0, 0.0
     if nhood_size > max_nhood:
         # Degenerate demo-size sets: the kNN radius needs nhood_size
-        # neighbors besides self. Clamp + warn rather than crash (real
-        # runs use 10-50k items and never hit this).
+        # neighbors besides self. Clamp + warn rather than crash.
         print(f"[metrics] WARNING: nhood_size {nhood_size} > n-1 "
               f"({max_nhood}); clamping — PR values are degenerate at "
               "this sample count")
-        nhood_size = max(max_nhood, 1)
+        nhood_size = max_nhood
     for name, manifold, probes in [("precision", real_features, gen_features),
                                    ("recall", gen_features, real_features)]:
         kth = []

@@ -68,8 +68,12 @@ def scatter_plot_interactive(points, labels, title="", save_path=None,
 
 def get_cmap(n, name="hsv"):
     """Index -> distinct RGB color mapper (parity: util_reports.py:22-25)."""
-    plt = _plt()
-    return plt.cm.get_cmap(name, n)
+    _plt()  # force the Agg backend before touching matplotlib registries
+    import matplotlib
+
+    # plt.cm.get_cmap is deprecated since matplotlib 3.7 (removal slated
+    # for 3.11); the colormap registry is the stable replacement.
+    return matplotlib.colormaps[name].resampled(n)
 
 
 def plot_training(history, plot_training_dir, columns_to_plot=None,
