@@ -559,6 +559,229 @@ def prepare_pelvis_2_1(data_dir, interim_dir, dest_zip, dataset="Pelvis_2.1",
 
 
 # ----------------------------------------------------------------------------
+# TIFF slice pipeline (parity: process_tiff dataset_tool.py:874-982; the
+# reference's ImgDatasetPreparation lives in an external
+# `src.models.stylegan3.genlib.utils.util_medical_data` module that is NOT
+# part of the reference repo — the per-slice transform below re-specifies
+# the behavior its call signature implies: box -> clip -> scale -> resize).
+
+def load_slice_2d(path):
+    """[H, W] float64 from a single-slice .tif/.tiff/.png (PIL) or .npy."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float64)
+    from PIL import Image
+
+    return np.asarray(Image.open(path), dtype=np.float64)
+
+
+def _find_slice_file(data_dir, rel):
+    """Resolve `<patient>/<slice>` (extension optional) to a real file."""
+    base = os.path.join(data_dir, rel)
+    if os.path.exists(base):
+        return base
+    for ext in (".tif", ".tiff", ".png", ".npy"):
+        if os.path.exists(base + ext):
+            return base + ext
+    raise FileNotFoundError(f"no slice file for {rel!r} under {data_dir!r}")
+
+
+def load_patient_boxes(data_dir_box):
+    """{patient: [y0, x0, y1, x1]} from `<data_dir_box>/boxes.json` or
+    per-patient `<patient>.json` files. Returns {} when unset/absent."""
+    if not data_dir_box:
+        return {}
+    global_file = os.path.join(data_dir_box, "boxes.json")
+    if os.path.exists(global_file):
+        with open(global_file) as f:
+            return {k: [int(v) for v in box] for k, box in json.load(f).items()}
+    boxes = {}
+    for f in glob.glob(os.path.join(data_dir_box, "*.json")):
+        patient = util_path.get_filename_without_extension(f)
+        with open(f) as fh:
+            boxes[patient] = [int(v) for v in json.load(fh)]
+    return boxes
+
+
+def apply_box_to_slice(img, box, box_value="min"):
+    """Zero out (to `box_value`: 'min' or a number) everything outside the
+    patient's lung bounding box [y0, x0, y1, x1]."""
+    if box is None:
+        return img
+    fill = float(img.min()) if box_value == "min" else float(box_value)
+    y0, x0, y1, x1 = box
+    out = np.full_like(img, fill)
+    out[y0:y1, x0:x1] = img[y0:y1, x0:x1]
+    return out
+
+
+def transform_tiff_slice(img, resolution, box=None, box_value="min",
+                         clip=None, scale=None, convert_to_uint8=False,
+                         scale_by_255=True):
+    """Per-slice claro CT transform: box mask -> HU clip -> scale to [0, 1]
+    -> resize to `resolution`² -> optional x255 / uint8 cast."""
+    img = apply_box_to_slice(np.asarray(img, np.float64), box, box_value)
+    if clip:
+        img = np.clip(img, clip["min"], clip["max"])
+    if scale:
+        lo, hi = float(scale["min"]), float(scale["max"])
+        img = (img - lo) / max(hi - lo, 1e-12)
+    if img.shape != (resolution, resolution):
+        from PIL import Image
+
+        img = np.asarray(
+            Image.fromarray(img.astype(np.float32)).resize(
+                (resolution, resolution), Image.BILINEAR),
+            dtype=np.float64)
+    if scale_by_255:
+        img = img * 255.0
+    if convert_to_uint8:
+        img = np.rint(np.clip(img, 0, 255)).astype(np.uint8)
+    return img
+
+
+def read_fold_slices(source_interim):
+    """Slice relpaths from `<source_interim>/bootstrap/folds/all.txt`
+    (space-separated table with an `img` column, as the reference's
+    pd.read_csv(..., sep=" ") at dataset_tool.py:903)."""
+    path = os.path.join(source_interim, "bootstrap", "folds", "all.txt")
+    with open(path) as f:
+        header = f.readline().split()
+        img_col = header.index("img")
+        return [line.split()[img_col] for line in f if line.strip()]
+
+
+def process_tiff(source, source_interim, source_box, dest, dataset,
+                 resolution, box_value, clip, scale, convert_to_uint8,
+                 scale_by_255, mode=None, is_overwrite=True,
+                 is_sanity_check=True, sanity_check_prob=0.05):
+    """claro tiff slices -> `<dest>/temp/<patient>/<patient>_<NNNNN>.pickle`
+    single-modality dicts (parity: dataset_tool.py:874-982)."""
+    if mode is None:
+        mode = ["CT"]
+    assert len(mode) == 1
+
+    temp = os.path.join(dest, "temp")
+    if os.path.isdir(temp) and is_overwrite:
+        print(f"Removing {temp}")
+        shutil.rmtree(temp)
+    util_path.create_dir(temp)
+
+    rels = read_fold_slices(source_interim)
+    patients = sorted({r.replace("\\", "/").split("/")[0] for r in rels})
+    print(f"Number of images: {len(rels)}")
+    print(f"Number of patients: {len(patients)}")
+    boxes = load_patient_boxes(source_box)
+
+    dataset_attrs = None
+    n_written = 0
+    for rel in rels:
+        rel = rel.replace("\\", "/")
+        id_patient = rel.split("/")[0]
+        stem = util_path.get_filename_without_extension(rel)
+        # Trailing integer in the stem is the slice id (ref formats
+        # `<id_patient>_<int(id_slice):05d>`).
+        id_slice = int(stem.split("_")[-1]) if stem.split("_")[-1].isdigit() else 0
+
+        raw = load_slice_2d(_find_slice_file(source, rel))
+        img_arr = transform_tiff_slice(
+            raw, resolution, box=boxes.get(id_patient), box_value=box_value,
+            clip=clip, scale=scale, convert_to_uint8=convert_to_uint8,
+            scale_by_255=scale_by_255)
+        img = {mode[0]: img_arr}
+
+        out_path = os.path.join(temp, id_patient,
+                                f"{id_patient}_{id_slice:05d}.pickle")
+        util_path.create_dir(os.path.dirname(out_path))
+        if not is_overwrite and os.path.exists(out_path):
+            continue
+
+        if is_sanity_check and random.random() < sanity_check_prob:
+            _sanity_tiff(img_arr, dest, id_patient,
+                         f"{id_patient}_{id_slice:05d}")
+
+        modalities = sorted(img.keys())
+        cur_attrs = dict(width=img_arr.shape[1], height=img_arr.shape[0],
+                         modalities=modalities, dtype=str(img_arr.dtype))
+        if dataset_attrs is None:
+            dataset_attrs = cur_attrs
+            w, h = cur_attrs["width"], cur_attrs["height"]
+            if w != h:
+                raise click.ClickException(
+                    f"Image dimensions after scale and crop are required to "
+                    f"be square. Got {w}x{h}")
+            if w != 2 ** int(np.floor(np.log2(w))):
+                raise click.ClickException(
+                    "Image width/height after scale and crop are required "
+                    "to be power-of-two")
+            if not convert_to_uint8 and cur_attrs["dtype"] != "float64":
+                raise click.ClickException(
+                    f"SG2 medical preprocessing requires float data, got "
+                    f"{cur_attrs['dtype']}")
+        elif dataset_attrs != cur_attrs:
+            raise click.ClickException(
+                f"Image {out_path} attributes must be equal across the dataset")
+
+        util_io.write_pickle(img, out_path)
+        n_written += 1
+    print(f"process_tiff: wrote {n_written} slices to {temp}")
+    return temp
+
+
+def _sanity_tiff(img_arr, dest, patient, name):
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    sdir = os.path.join(dest, "sanity_check", patient)
+    util_path.create_dir(sdir)
+    # PIL has no float64 mode; 'F' (float32) carries the /255 sanity view.
+    Image.fromarray((np.asarray(img_arr, np.float64) / 255.0).astype(
+        np.float32)).save(os.path.join(sdir, f"{name}.tif"), "tiff")
+
+
+# ----------------------------------------------------------------------------
+# claro recipe (parity: prepare_claro dataset_tool.py:1055-1117)
+
+def prepare_claro(data_dir, interim_dir, reports_dir, data_dir_box, cfg, opts):
+    """Dispatch one claro processing step from a parsed config dict."""
+    data_cfg = cfg["data"]
+    resolution = data_cfg["resolution"]
+    modes_args = data_cfg["modes"]
+    options = data_cfg["options"]
+    validation = data_cfg["validation"]
+
+    util_path.create_dir(reports_dir)
+    print("Training options:")
+    print(f"Data directory:      {data_dir}")
+    print(f"Output directory:    {interim_dir}")
+    print(f"Dataset resolution:  {resolution}")
+    print(f"Processing step:     {opts.processing_step}")
+
+    if opts.processing_step == "process_tiff":
+        return process_tiff(
+            source=data_dir, source_interim=interim_dir,
+            source_box=data_dir_box, dest=interim_dir, dataset=opts.dataset,
+            resolution=resolution, box_value=options["box_value"],
+            clip=modes_args["CT"]["clip"], scale=modes_args["CT"]["scale"],
+            convert_to_uint8=options["convert_to_uint8"],
+            scale_by_255=options["scale_by_255"])
+    if opts.processing_step == "snap_zip":
+        temp = os.path.join(data_dir, "temp")
+        temp = temp if os.path.isdir(temp) else data_dir
+        patients = [p for p in sorted(os.listdir(temp))
+                    if os.path.isdir(os.path.join(temp, p))]
+        patients = patients[:opts.max_patients]
+        dest_zip = os.path.join(
+            interim_dir, f"{opts.dataset}-num-{len(patients):06d}.zip")
+        splits = make_splits(patients, *validation["split"], seed=opts.seed)
+        snap_zip(temp, dest_zip, splits)
+        return dest_zip
+    raise NotImplementedError(
+        f"claro has no step {opts.processing_step!r} (reference supports "
+        "process_tiff and snap_zip — dataset_tool.py:1101-1117)")
+
+
+# ----------------------------------------------------------------------------
 # CLI
 
 @click.group()
@@ -666,6 +889,137 @@ def prepare_pelvis(data_dir, interim_dir, dest_zip, dataset, resolution,
                        image_shape=(resolution, resolution),
                        pop_range=pop_range, apply_mask=apply_mask,
                        from_dicom=from_dicom, seed=seed)
+
+
+@main.command(name="process_tiff")
+@click.option("--source", required=True, help="dir of <patient>/<slice>.tif")
+@click.option("--source_interim", required=True,
+              help="dir holding bootstrap/folds/all.txt")
+@click.option("--source_box", default=None,
+              help="dir of boxes.json / <patient>.json bounding boxes")
+@click.option("--dest", required=True)
+@click.option("--dataset", default="claro")
+@click.option("--resolution", type=int, default=512)
+@click.option("--box_value", default="min")
+@click.option("--clip_min", type=float, default=-1000.0)
+@click.option("--clip_max", type=float, default=1000.0)
+@click.option("--convert_to_uint8", is_flag=True)
+@click.option("--no_scale_by_255", is_flag=True)
+def process_tiff_cmd(source, source_interim, source_box, dest, dataset,
+                     resolution, box_value, clip_min, clip_max,
+                     convert_to_uint8, no_scale_by_255):
+    """claro tiff slices -> per-slice pickle dicts (ref :874-982)."""
+    process_tiff(source=source, source_interim=source_interim,
+                 source_box=source_box, dest=dest, dataset=dataset,
+                 resolution=resolution, box_value=box_value,
+                 clip={"min": clip_min, "max": clip_max},
+                 scale={"min": clip_min, "max": clip_max},
+                 convert_to_uint8=convert_to_uint8,
+                 scale_by_255=not no_scale_by_255)
+
+
+REFERENCE_STEPS = ["process_dicom_2_nifti", "process_nifti_resized",
+                   "process_nifti_normalized", "mask_nifti", "snap_pickle",
+                   "snap_zip", "process_tiff"]
+
+
+@main.command(name="run")
+@click.option("--seed", type=int, default=42)
+@click.option("--configuration_file", required=True, metavar="PATH",
+              help="yaml config (data.resolution/modes/options/validation)")
+@click.option("--data_dir", required=True, metavar="PATH")
+@click.option("--data_dir_mask", default=None, metavar="PATH")
+@click.option("--data_dir_box", default=None, metavar="PATH")
+@click.option("--interim_dir", required=True, metavar="PATH")
+@click.option("--reports_dir", required=True, metavar="PATH")
+@click.option("--dataset", required=True, type=str, default="Pelvis_2.1")
+@click.option("--max_patients", type=int, default=100000)
+@click.option("--processing_step", required=True,
+              type=click.Choice(REFERENCE_STEPS))
+def run_cmd(**kwargs):
+    """Reference-parity single entry: dispatch one processing step from a
+    yaml configuration (ref dataset_tool.py:985-1052 main). Step names,
+    dataset dispatch ('claro' substring vs 'Pelvis_2.1'), and per-step
+    output folder naming match the reference."""
+    import yaml
+
+    from ..utils.util_easydict import EasyDict
+
+    opts = EasyDict(**kwargs)
+    with open(opts.configuration_file) as f:
+        cfg = yaml.safe_load(f)
+
+    random.seed(opts.seed)
+    np.random.seed(opts.seed)
+
+    data_dir = opts.data_dir
+    interim_dir = os.path.join(opts.interim_dir, opts.dataset)
+    reports_dir = os.path.join(opts.reports_dir, opts.dataset)
+    util_path.create_dir(reports_dir)
+    util_path.create_dir(interim_dir)
+
+    if "claro" in opts.dataset:
+        return prepare_claro(data_dir, interim_dir, reports_dir,
+                             opts.data_dir_box, cfg=cfg, opts=opts)
+    if opts.dataset == "Pelvis_2.1":
+        return _prepare_pelvis_step(data_dir, interim_dir, reports_dir,
+                                    opts.data_dir_mask, cfg=cfg, opts=opts)
+    raise NotImplementedError(f"{opts.dataset:s} is not implemented")
+
+
+def _prepare_pelvis_step(data_dir, interim_dir, reports_dir, data_dir_mask,
+                         cfg, opts):
+    """One Pelvis_2.1 processing step (parity: prepare_Pelvis_2_1
+    dataset_tool.py:1119-1226 — per-step dest naming preserved)."""
+    data_cfg = cfg["data"]
+    resolution = data_cfg["resolution"]
+    modes_args = data_cfg["modes"]
+    options = data_cfg["options"]
+    validation = data_cfg["validation"]
+    step = opts.processing_step
+
+    if step == "process_dicom_2_nifti":
+        dest = os.path.join(interim_dir, "nifti_volumes")
+        return convert_dicom_2_nifti(data_dir, dest, list(modes_args.keys()))
+    if step == "process_nifti_resized":
+        dest = os.path.join(interim_dir, f"nifti_volumes_{resolution}x{resolution}")
+        return resize_nifti_folder(data_dir, dest, (resolution, resolution))
+    if step == "process_nifti_normalized":
+        dest = os.path.join(
+            interim_dir, f"nifti_volumes_{resolution}x{resolution}_normalized")
+        for folder in sorted(glob.glob(os.path.join(data_dir, "*"))):
+            patient = util_path.get_filename_without_extension(folder)
+            outdir = util_path.create_dir(os.path.join(dest, patient))
+            for file_mode in sorted(glob.glob(os.path.join(folder, "*"))):
+                mode = util_path.get_filename_without_extension(
+                    file_mode).replace(".nii", "")
+                vol = normalize_per_dataset(load_volume(file_mode),
+                                            opts.dataset,
+                                            modes_args.get(mode, {}))
+                save_volume(os.path.join(outdir, mode), vol)
+        return dest
+    if step == "mask_nifti":
+        dest = os.path.join(
+            interim_dir, f"nifti_volumes_{resolution}x{resolution}_mask")
+        return find_mask_folder(data_dir, dest, opts.dataset)
+    if step == "snap_pickle":
+        return snap_pickle(data_dir, interim_dir, source_mask=data_dir_mask,
+                           pop_range=options.get("pop_range", 10),
+                           apply_mask=options.get("apply_mask", False),
+                           is_overwrite=True)
+    if step == "snap_zip":
+        temp = os.path.join(data_dir, "temp")
+        temp = temp if os.path.isdir(temp) else data_dir
+        patients = [p for p in sorted(os.listdir(temp))
+                    if os.path.isdir(os.path.join(temp, p))]
+        patients = patients[:opts.max_patients]
+        dest_zip = os.path.join(
+            interim_dir, f"{opts.dataset}-num-{len(patients):06d}.zip")
+        splits = make_splits(patients, *validation["split"], seed=opts.seed)
+        return snap_zip(temp, dest_zip, splits)
+    raise NotImplementedError(
+        f"Pelvis_2.1 has no step {step!r} (process_tiff is claro-only — "
+        "ref dataset_tool.py:1101)")
 
 
 if __name__ == "__main__":
