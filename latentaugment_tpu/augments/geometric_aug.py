@@ -41,36 +41,71 @@ def random_hflip(key, x, p):
     return jnp.where(mask, x[..., ::-1], x)
 
 
+def _normal_transform_pixel(h, w):
+    """kornia normal_transform_pixel: pixel coords -> [-1, 1] using the
+    (size - 1) denominators (geometry.transform.imgwarp; this is kornia's
+    convention even when the final grid_sample uses align_corners=False —
+    the quirk is reproduced, not repaired, for oracle parity)."""
+    return jnp.asarray([[2.0 / (w - 1), 0.0, -1.0],
+                        [0.0, 2.0 / (h - 1), -1.0],
+                        [0.0, 0.0, 1.0]], dtype=jnp.float32)
+
+
+def affine_warp(x, angle_deg, translate_px):
+    """Deterministic core of kornia RandomAffine on fixed parameters.
+
+    Reproduces get_affine_matrix2d (OpenCV rotation about the image center
+    ((W-1)/2, (H-1)/2) with the angle NEGATED, pixel translations added to
+    the matrix's last column) -> warp_affine (normalize_homography, invert,
+    affine_grid + grid_sample with align_corners=False, reflection padding).
+    angle_deg: [N] degrees; translate_px: [N, 2] (dx, dy) in pixels.
+    Oracle: tests/reference_oracles.py kornia_affine_oracle."""
+    n, c, h, w = x.shape
+    ang = -jnp.asarray(angle_deg, jnp.float32) * (np.pi / 180.0)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    tx, ty = translate_px[:, 0], translate_px[:, 1]
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    m = jnp.stack([
+        jnp.stack([cos, sin, (1.0 - cos) * cx - sin * cy + tx], axis=-1),
+        jnp.stack([-sin, cos, sin * cx + (1.0 - cos) * cy + ty], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=-2)  # [N, 3, 3] src->dst pixel homography
+    norm = _normal_transform_pixel(h, w)
+    dst_norm_trans_src_norm = norm[None] @ m @ jnp.linalg.inv(norm)[None]
+    theta = jnp.linalg.inv(dst_norm_trans_src_norm)  # dst norm -> src norm
+    base = _identity_grid(h, w)  # F.affine_grid(align_corners=False) base
+    gxy1 = jnp.concatenate([base, jnp.ones((h, w, 1))], axis=-1)
+    src = jnp.einsum('nij,hwj->nhwi', theta, gxy1)[..., :2]
+    return grid_sample(x, src, padding_mode='reflection', align_corners=False)
+
+
 def random_affine(key, x, p, degrees, translate):
     """Per-sample rotation (+-degrees) and translation (+-translate frac),
-    reflection padding — matching kornia RandomAffine semantics."""
+    reflection padding — kornia RandomAffine parameter sampling: dx ~
+    U(-t*W, t*W) pixels, dy ~ U(-t*H, t*H) pixels."""
     n, c, h, w = x.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    theta = jax.random.uniform(k1, (n,), minval=-degrees, maxval=degrees) * np.pi / 180.0
-    tx = jax.random.uniform(k2, (n,), minval=-translate, maxval=translate) * 2.0
-    ty = jax.random.uniform(k3, (n,), minval=-translate, maxval=translate) * 2.0
+    angle = jax.random.uniform(k1, (n,), minval=-degrees, maxval=degrees)
+    tx = jax.random.uniform(k2, (n,), minval=-translate, maxval=translate) * w
+    ty = jax.random.uniform(k3, (n,), minval=-translate, maxval=translate) * h
     apply = jax.random.bernoulli(k4, p, (n,))
-
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    base = _identity_grid(h, w)[None]  # [1, H, W, 2]
-    gx, gy = base[..., 0], base[..., 1]
-    # Inverse map: output pixel samples from rotated+translated input coords.
-    sx = cos[:, None, None] * gx + sin[:, None, None] * gy - tx[:, None, None]
-    sy = -sin[:, None, None] * gx + cos[:, None, None] * gy - ty[:, None, None]
-    grid = jnp.stack([sx, sy], axis=-1)
-    warped = grid_sample(x, grid, padding_mode='reflection', align_corners=False)
+    warped = affine_warp(x, angle, jnp.stack([tx, ty], axis=-1))
     return jnp.where(apply[:, None, None, None], warped, x)
 
 
-def random_elastic(key, x, p, kernel_size=63, sigma=32.0, alpha=1.0):
-    """Per-sample elastic warp: smoothed uniform displacement field added to
-    the sampling grid (kornia RandomElasticTransform semantics)."""
+def elastic_warp(x, noise, kernel_size=63, sigma=32.0, alpha=1.0):
+    """Deterministic core of kornia elastic_transform2d on a fixed noise
+    field [N, 2, H, W]: gaussian-smooth the displacement channels
+    (border_type='constant' = zero padding; the normalized 2-D kernel is
+    an outer product, so two 1-D passes are exact), scale by alpha, add to
+    kornia's create_meshgrid grid (linspace(-1, 1, size) — align_corners=
+    True spacing, another reproduced kornia quirk), CLAMP to [-1, 1], and
+    grid_sample with align_corners=False + reflection padding.
+    Oracle: tests/reference_oracles.py kornia_elastic_oracle."""
     n, c, h, w = x.shape
-    k1, k2 = jax.random.split(key)
-    noise = jax.random.uniform(k1, (n, 2, h, w), minval=-1.0, maxval=1.0)
     kern = _gaussian_kernel1d(kernel_size, sigma)
     pad = kernel_size // 2
-    # Separable smoothing of the displacement field.
     from jax import lax
 
     kx = jnp.tile(kern.reshape(1, 1, 1, kernel_size), (2, 1, 1, 1))
@@ -82,8 +117,22 @@ def random_elastic(key, x, p, kernel_size=63, sigma=32.0, alpha=1.0):
                                       dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
                                       feature_group_count=2)
     disp = smooth * alpha
-    grid = _identity_grid(h, w)[None] + jnp.moveaxis(disp, 1, -1)
-    warped = grid_sample(x, grid, padding_mode='reflection', align_corners=False)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    gx, gy = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([gx, gy], axis=-1)[None] + jnp.moveaxis(disp, 1, -1)
+    grid = jnp.clip(grid, -1.0, 1.0)
+    return grid_sample(x, grid, padding_mode='reflection', align_corners=False)
+
+
+def random_elastic(key, x, p, kernel_size=63, sigma=32.0, alpha=1.0):
+    """Per-sample elastic warp (kornia RandomElasticTransform: noise ~
+    U(-1, 1) per displacement channel)."""
+    n = x.shape[0]
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.uniform(k1, (n, 2) + x.shape[2:], minval=-1.0,
+                               maxval=1.0)
+    warped = elastic_warp(x, noise, kernel_size, sigma, alpha)
     apply = jax.random.bernoulli(k2, p, (n,))
     return jnp.where(apply[:, None, None, None], warped, x)
 

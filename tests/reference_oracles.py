@@ -541,3 +541,71 @@ def persistence_pickle_bytes(obj):
     buf = _io.BytesIO()
     _P(buf, protocol=4).dump(obj)
     return buf.getvalue()
+
+
+# ----------------------------------------------------------------------------
+# kornia-semantics oracles for GeometricAugment (reference
+# augments/geometric_aug.py:101-131 builds K.RandomAffine /
+# K.RandomElasticTransform; kornia is not installed here, so these
+# restate kornia's documented math in plain torch).
+
+def _normal_transform_pixel_torch(h, w):
+    """kornia.geometry.normal_transform_pixel: (size-1)-denominator
+    pixel -> [-1, 1] normalization."""
+    return torch.tensor([[2.0 / (w - 1), 0.0, -1.0],
+                         [0.0, 2.0 / (h - 1), -1.0],
+                         [0.0, 0.0, 1.0]], dtype=torch.float32)
+
+
+def kornia_affine_oracle(x, angle_deg, translate_px):
+    """kornia RandomAffine.apply_transform on fixed parameters:
+    get_rotation_matrix2d(center=(W-1)/2,(H-1)/2, angle=-angle, scale=1)
+    with pixel translations added to the last column (get_affine_matrix2d),
+    then warp_affine = normalize_homography -> inverse -> F.affine_grid /
+    F.grid_sample with align_corners=False, reflection padding."""
+    x = torch.as_tensor(np.asarray(x), dtype=torch.float32)
+    angle = torch.as_tensor(np.asarray(angle_deg), dtype=torch.float32)
+    trans = torch.as_tensor(np.asarray(translate_px), dtype=torch.float32)
+    n, c, h, w = x.shape
+    ang = -angle * np.pi / 180.0  # get_affine_matrix2d negates the angle
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = torch.cos(ang), torch.sin(ang)
+    m = torch.zeros(n, 3, 3)
+    m[:, 0, 0] = cos
+    m[:, 0, 1] = sin
+    m[:, 0, 2] = (1.0 - cos) * cx - sin * cy + trans[:, 0]
+    m[:, 1, 0] = -sin
+    m[:, 1, 1] = cos
+    m[:, 1, 2] = sin * cx + (1.0 - cos) * cy + trans[:, 1]
+    m[:, 2, 2] = 1.0
+    norm = _normal_transform_pixel_torch(h, w)
+    dst_norm_trans_src_norm = norm[None] @ m @ torch.linalg.inv(norm)[None]
+    theta = torch.linalg.inv(dst_norm_trans_src_norm)[:, :2, :]
+    grid = F.affine_grid(theta, (n, c, h, w), align_corners=False)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode="reflection",
+                         align_corners=False)
+
+
+def kornia_elastic_oracle(x, noise, kernel_size=63, sigma=32.0, alpha=1.0):
+    """kornia elastic_transform2d on a fixed noise field [N, 2, H, W]:
+    filter2d(border_type='constant') with the normalized 2-D gaussian
+    kernel, * alpha, added to create_meshgrid's linspace(-1, 1) grid,
+    clamped to [-1, 1], then F.grid_sample(align_corners=False,
+    padding_mode='reflection')."""
+    x = torch.as_tensor(np.asarray(x), dtype=torch.float32)
+    noise = torch.as_tensor(np.asarray(noise), dtype=torch.float32)
+    n, c, h, w = x.shape
+    ax = torch.arange(kernel_size, dtype=torch.float32) - (kernel_size - 1) / 2.0
+    k1 = torch.exp(-0.5 * (ax / sigma) ** 2)
+    k1 = k1 / k1.sum()
+    k2d = torch.outer(k1, k1)  # normalized gaussian (outer of normalized 1-D)
+    pad = kernel_size // 2
+    disp = F.conv2d(noise.reshape(n * 2, 1, h, w), k2d[None, None],
+                    padding=pad).reshape(n, 2, h, w) * alpha
+    ys = torch.linspace(-1.0, 1.0, h)
+    xs = torch.linspace(-1.0, 1.0, w)
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    grid = torch.stack([gx, gy], dim=-1)[None] + disp.permute(0, 2, 3, 1)
+    grid = grid.clamp(-1.0, 1.0)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode="reflection",
+                         align_corners=False)

@@ -51,10 +51,20 @@ def test_affine_zero_params_is_identity(x):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_elastic_zero_alpha_is_identity(x):
+def test_elastic_zero_alpha_is_zero_displacement_resample(x):
+    """kornia's elastic transform is NOT exactly identity at alpha=0: its
+    create_meshgrid uses linspace(-1, 1) (align_corners=True spacing) but
+    samples with align_corners=False — a half-pixel-scale resample quirk we
+    reproduce for parity. Pin alpha=0 to the oracle's zero-displacement
+    warp instead of the identity."""
+    import reference_oracles as oracle
+
     out = random_elastic(KEY, x, 1.0, kernel_size=7, sigma=2.0, alpha=0.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
-                               rtol=1e-5, atol=1e-5)
+    zero_noise = np.zeros((x.shape[0], 2) + x.shape[2:], np.float32)
+    ref = oracle.kornia_elastic_oracle(np.asarray(x), zero_noise,
+                                       kernel_size=7, sigma=2.0,
+                                       alpha=0.0).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
 
 def test_affine_rotation_moves_but_preserves_range(x):
