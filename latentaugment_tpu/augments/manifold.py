@@ -206,11 +206,17 @@ def get_params(load_size, crop_size, preprocess="center_random_crop", rng=None):
 
 
 def center_crop(x, load_size=None):
-    """Static center crop of NCHW x to center_crop_size(H)."""
+    """Static center crop of NCHW x to center_crop_size(H).
+
+    Offset uses torchvision's convention — int(round((h - size) / 2.0)),
+    Python banker's rounding — NOT floor division: at res=256 the crop is
+    75 px smaller, (256-181)/2 = 37.5 rounds to top=38 while floor gives
+    37, a one-pixel offset on every pix/LPIPS crop vs the reference
+    (transforms.CenterCrop via util_dataset.py:301-323)."""
     h = x.shape[-2]
     size = center_crop_size(load_size or h)
-    top = (h - size) // 2
-    left = (x.shape[-1] - size) // 2
+    top = int(round((h - size) / 2.0))
+    left = int(round((x.shape[-1] - size) / 2.0))
     return x[..., top:top + size, left:left + size]
 
 

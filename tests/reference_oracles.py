@@ -609,3 +609,177 @@ def kornia_elastic_oracle(x, noise, kernel_size=63, sigma=32.0, alpha=1.0):
     grid = grid.clamp(-1.0, 1.0)
     return F.grid_sample(x, grid, mode="bilinear", padding_mode="reflection",
                          align_corners=False)
+
+
+# ----------------------------------------------------------------------------
+# Full K-step latent-walk oracle (reference augments/utils/util_latent_aug.py:
+# 207-310 forward loop, :315-433 losses, util_dataset.py:284-332 crops).
+# Used by tests/test_walk_parity.py to pin the composed walk — loss
+# composition/signs/normalizations, crop geometry, LPIPS input scale, Adam
+# bias correction, soft/hard gate — against our jitted lax.scan walk.
+
+_VGG_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_VGG_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+_VGG16_PLAN = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), "M",
+]
+_VGG_LPIPS_TAPS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
+
+
+def vgg16_lpips_embed_torch(params, x):
+    """The NVIDIA vgg16.pt `return_lpips=True` contract in plain torch:
+    [0,255]-convention prescale to the richzhang normalization, 3x3
+    conv/relu trunk with 2x2 maxpools, then per-tap unit-channel-normalized
+    activations scaled by sqrt(lin/(H*W)) and concatenated — so squared L2
+    between embeddings equals the LPIPS distance (the property
+    util_latent_aug.py:387-409 relies on). `params` is a dict of numpy
+    arrays as produced by latentaugment_tpu.models.vgg.init_vgg."""
+    x = x / 127.5 - 1.0
+    x = (x - torch.tensor(_VGG_LPIPS_SHIFT)[None, :, None, None]) \
+        / torch.tensor(_VGG_LPIPS_SCALE)[None, :, None, None]
+    feats = []
+    n = x.shape[0]
+    remaining = set(_VGG_LPIPS_TAPS)
+    for item in _VGG16_PLAN:
+        if not remaining:
+            break
+        if item == "M":
+            x = F.max_pool2d(x, 2)
+            continue
+        name, _ = item
+        w = torch.as_tensor(np.asarray(params[name]["weight"]))
+        b = torch.as_tensor(np.asarray(params[name]["bias"]))
+        x = F.relu(F.conv2d(x, w, b, padding=1))
+        if name in remaining:
+            remaining.discard(name)
+            a = x * torch.rsqrt(torch.sum(x * x, dim=1, keepdim=True) + 1e-10)
+            lin = params.get("lin", {}).get(name)
+            if lin is not None:
+                a = a * torch.sqrt(torch.clamp(
+                    torch.as_tensor(np.asarray(lin)), min=0.0))[None, :, None, None]
+            h, w_ = a.shape[2], a.shape[3]
+            feats.append((a / np.sqrt(h * w_)).reshape(n, -1))
+    return torch.cat(feats, dim=1)
+
+
+def l2_loss_vectorized_torch(X, Y, compute_mean=True):
+    """Reference l2_loss_vectorized (util_latent_aug.py:315-361): pairwise
+    squared L2 between rows; mean over pairs / per-item feature size."""
+    assert X.ndim == Y.ndim and X.ndim in (2, 3, 4)
+    dims = tuple(range(1, X.ndim))
+    YYt = torch.sum(Y * Y, dims)
+    XXt = torch.sum(X * X, dims)
+    YXt = Y.reshape(Y.shape[0], -1) @ X.reshape(X.shape[0], -1).T
+    D = YYt.unsqueeze(-1) + XXt - 2.0 * YXt
+    if compute_mean:
+        D = torch.sum(D) / (Y.shape[0] * X.shape[0])
+        feat = 1
+        for d in Y.shape[1:]:
+            feat *= d
+        D = D / feat
+    return D
+
+
+def center_crop_torch(x, load_size):
+    """transforms.CenterCrop(int(sqrt(load_size^2 / 2))) semantics
+    (util_dataset.py:301-323): torchvision rounds the offset with
+    int(round((h - size) / 2.0))."""
+    size = int(np.sqrt((load_size * load_size) / 2))
+    h, w = x.shape[-2], x.shape[-1]
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return x[..., top:top + size, left:left + size]
+
+
+def reference_walk_oracle(G, D, vgg_params, w0, *, num_epochs, opt_lr,
+                          w_pix, w_lpips, w_latent, w_disc,
+                          W_manifold, X_manifold, fea_manifolds,
+                          crop_pos, crop_size, res, n_modes,
+                          soft_aug=False, alpha=1.0, disc_sign=1.0):
+    """The reference LatentAug.forward walk (util_latent_aug.py:207-310):
+    K torch.optim.Adam steps on w [B,1,w_dim] against
+    loss = -latent - pix - lpips + disc, with the center_random_crop
+    pipeline at fixed crop_pos (x, y). Returns (per-epoch loss dicts,
+    w_aug [B,1,w_dim], ws_aug broadcast).
+
+    Manifolds are raw arrays: W [M,num_ws,w_dim], X [M,n_modes,res,res]
+    (same value convention as G's output), fea_manifolds list of [M,D]
+    per modality."""
+    num_ws = G.num_ws
+    w_opt = torch.tensor(np.asarray(w0), dtype=torch.float32,
+                         requires_grad=True)
+    optimizer = torch.optim.Adam([w_opt], betas=(0.9, 0.999), lr=opt_lr)
+    W = torch.as_tensor(np.asarray(W_manifold), dtype=torch.float32)
+    X = torch.as_tensor(np.asarray(X_manifold), dtype=torch.float32)
+    feas = [torch.as_tensor(np.asarray(f), dtype=torch.float32)
+            for f in fea_manifolds]
+    X_cc = center_crop_torch(X, res)
+    px, py = crop_pos
+
+    def transform_aug(img):
+        cc = center_crop_torch(img, res)
+        return cc[:, :, py:py + crop_size, px:px + crop_size]
+
+    history = []
+    for _epoch in range(num_epochs):
+        ws = w_opt.repeat([1, num_ws, 1])
+        x_tilde = G.synthesis(ws, noise_mode="const")
+
+        rec = {}
+        loss_latent = torch.tensor(0.0)
+        if w_latent > 0.0:
+            loss_latent = w_latent * l2_loss_vectorized_torch(ws, W)
+            rec["loss_latent"] = float(loss_latent)
+
+        loss_disc = torch.tensor(0.0)
+        if w_disc > 0.0:
+            logits = D(x_tilde, c=None)
+            loss_disc = w_disc * F.softplus(-logits).mean()
+            rec["loss_disc"] = float(loss_disc)
+
+        loss_pix = torch.tensor(0.0)
+        if w_pix > 0.0:
+            x_cc = center_crop_torch(x_tilde, res)
+            acc = 0.0
+            for m in range(n_modes):
+                acc = acc + w_pix * l2_loss_vectorized_torch(
+                    x_cc[:, m:m + 1], X_cc[:, m:m + 1])
+            loss_pix = acc / n_modes
+            rec["loss_pix"] = float(loss_pix)
+
+        loss_lpips = torch.tensor(0.0)
+        if w_lpips > 0.0:
+            x_crop = transform_aug(x_tilde)
+            acc = 0.0
+            for m in range(n_modes):
+                xm = x_crop[:, m:m + 1].repeat([1, 3, 1, 1])
+                # calc_loss_lpips_torchscript feeds the RAW synthesis-range
+                # crop to the [0,255]-convention VGG (the reference's input
+                # scale quirk, util_latent_aug.py:387-409).
+                synth_features = vgg16_lpips_embed_torch(vgg_params, xm)
+                dist = l2_loss_vectorized_torch(synth_features, feas[m],
+                                                compute_mean=False)
+                acc = acc + w_lpips * (dist.sum() / (synth_features.shape[0]
+                                                     * feas[m].shape[0]))
+            loss_lpips = acc / n_modes
+            rec["loss_lpips"] = float(loss_lpips)
+
+        # disc_sign exists only for perturbation-sensitivity tests (a wrong
+        # composed sign must be detectable); the reference is always +.
+        loss = -loss_latent - loss_pix - loss_lpips + disc_sign * loss_disc
+        rec["loss"] = float(loss)
+        history.append(rec)
+
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+
+    w0_t = torch.as_tensor(np.asarray(w0), dtype=torch.float32)
+    w_aug = (alpha * w_opt + (1.0 - alpha) * w0_t) if soft_aug \
+        else w_opt
+    ws_aug = w_aug.repeat([1, num_ws, 1])
+    return history, w_aug.detach(), ws_aug.detach()

@@ -23,9 +23,12 @@ def test_bench_cpu_smoke():
     assert len(lines) == 1, res.stdout
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline", "batch",
-                        "oom_fallback"}
+                        "oom_fallback", "chains_s", "warm_single_batch_s"}
     assert rec["value"] > 0
     assert rec["oom_fallback"] is False
+    # Both timing chains are reported so a relay stall is distinguishable
+    # from a regression (round-2 VERDICT weak #6 / #8).
+    assert len(rec["chains_s"]) == 2 and all(c > 0 for c in rec["chains_s"])
 
 
 def test_inception_torchvision_mapping():
