@@ -1,0 +1,99 @@
+"""Compiled-sharding audit: census the collectives GSPMD placed in an
+optimized program and assert the data-parallel contract of the walk.
+
+Why: on a mesh, a single wrong sharding annotation makes GSPMD silently
+all-gather activations onto every device — the program stays *correct*
+and the tiny-shape dryrun still passes, but the x8 scaling evaporates on
+real hardware. The reference's torch.nn.DataParallel scatter/gather
+(util_latent_aug.py:20-33) had the same failure mode in the opposite
+direction (implicit full gathers every step, by design). Auditing the
+optimized HLO pins our contract: batch dim sharded end-to-end, and the
+only collectives are the small reductions the math requires (batch-mean
+losses, replicated-gradient sums) plus bookkeeping-size gathers.
+
+Used by __graft_entry__.dryrun_multichip (prints the census, hard-fails
+on violations) and tests/test_sharding_audit.py.
+"""
+
+import re
+
+# result-shape(s) then opcode, e.g.
+#   %ag = f32[16,2,32,32]{3,2,1,0} all-gather(%p), ...   (layout suffix!)
+#   %ar = (f32[], f32[64]) all-reduce(...)
+# Non-scalar results print a {layout} suffix — a census that misses it
+# silently ignores every big-tensor collective (caught by the negative
+# test in tests/test_sharding_audit.py).
+_COLLECTIVE_RE = re.compile(
+    r"=\s+((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?))\s+"
+    r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
+    r"(?:-start|-done)?\(")
+_SHAPE_RE = re.compile(r"[a-z0-9]+\[([\d,]*)\]")
+
+
+def _elements(shape_text):
+    """Total elements across every tensor in a (possibly tuple) shape."""
+    total = 0
+    for dims in _SHAPE_RE.findall(shape_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n
+    return total
+
+
+def collective_census(hlo_text):
+    """{opcode: [result_element_counts]} for every collective in the
+    optimized HLO text (pass `compiled.as_text()`)."""
+    census = {}
+    for shape_text, op in _COLLECTIVE_RE.findall(hlo_text):
+        census.setdefault(op, []).append(_elements(shape_text))
+    return census
+
+
+def format_census(census):
+    if not census:
+        return "no collectives"
+    parts = []
+    for op in sorted(census):
+        sizes = census[op]
+        parts.append(f"{op}: {len(sizes)} (max {max(sizes)} elem)")
+    return ", ".join(parts)
+
+
+def audit_walk_collectives(census, *, max_gather_elements=65536,
+                           max_reduce_elements=1 << 22):
+    """Raise AssertionError when the census shows the data-parallel
+    contract was broken.
+
+    - all-gather / all-to-all of activation-sized tensors (> 64k elements
+      by default — w-latent bookkeeping is ~B*num_ws*w_dim ≈ 16k at
+      production shapes, feature maps are millions) means the batch dim
+      was de-sharded mid-walk.
+    - all-reduce is expected (batch-mean loss terms, replicated-operand
+      gradient sums) but must stay far below activation size.
+    Returns the census for chaining."""
+    problems = []
+    for op in ("all-gather", "all-to-all"):
+        for n in census.get(op, []):
+            if n > max_gather_elements:
+                problems.append(
+                    f"{op} of {n} elements — an activation/batch tensor was "
+                    "gathered onto every device; the batch dim is not "
+                    "sharded end-to-end")
+    for n in census.get("all-reduce", []):
+        if n > max_reduce_elements:
+            problems.append(
+                f"all-reduce of {n} elements — larger than any loss/grad "
+                "reduction the walk's math needs")
+    if problems:
+        raise AssertionError(
+            "sharding audit failed:\n  " + "\n  ".join(problems)
+            + f"\n  census: {format_census(census)}")
+    return census
+
+
+def audit_compiled_walk(compiled, **limits):
+    """Census + audit one jax `Compiled` object; returns the census."""
+    return audit_walk_collectives(collective_census(compiled.as_text()),
+                                  **limits)

@@ -1,0 +1,111 @@
+"""Compiled-sharding audit tests (round-2 VERDICT #2).
+
+Lower and compile the production-shape walk on the 8-device virtual CPU
+mesh and assert on the OPTIMIZED HLO: the batch dim stays sharded through
+the hot loop (no activation all-gathers), with collectives only where the
+math needs them (batch-mean loss reductions). Also proves the detector
+itself works by compiling a program with a deliberate mid-graph
+replication and checking the audit flags it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latentaugment_tpu import benchmark
+from latentaugment_tpu.parallel import audit, mesh as pmesh
+
+
+# ----------------------------------------------------------------------------
+# Census parser unit tests (no compilation needed)
+
+def test_census_parses_hlo_shapes():
+    hlo = """
+  %ag.1 = f32[16,2,32,32]{3,2,1,0} all-gather(%p0), channel_id=1
+  %ar.2 = (f32[], f32[64]) all-reduce(f32[] %a, f32[64] %b), channel_id=2
+  %cp.3 = f32[4,8] collective-permute(f32[4,8] %x), channel_id=3
+  %ars.4 = f32[] all-reduce-start(f32[] %y), channel_id=4
+  %add.5 = f32[64] add(f32[64] %u, f32[64] %v)
+"""
+    census = audit.collective_census(hlo)
+    # The {layout} suffix on non-scalar results must not hide the op.
+    assert census["all-gather"] == [16 * 2 * 32 * 32]
+    assert sorted(census["all-reduce"]) == [1, 65]
+    assert census["collective-permute"] == [32]
+    assert "add" not in census
+
+
+def test_audit_flags_large_gather_and_passes_small_reduce():
+    ok = {"all-reduce": [1, 64], "all-gather": [128]}
+    audit.audit_walk_collectives(ok)  # no raise
+    bad = {"all-gather": [2 * 2 * 256 * 256]}
+    with pytest.raises(AssertionError, match="batch dim is not sharded"):
+        audit.audit_walk_collectives(bad)
+    bad_reduce = {"all-reduce": [1 << 25]}
+    with pytest.raises(AssertionError, match="all-reduce of"):
+        audit.audit_walk_collectives(bad_reduce)
+
+
+# ----------------------------------------------------------------------------
+# The real walk program on the 8-device mesh
+
+@pytest.fixture(scope="module")
+def compiled_walk():
+    from latentaugment_tpu.ops.upfirdn2d import set_allow_pallas_blur
+
+    set_allow_pallas_blur(False)
+    mesh = pmesh.get_mesh(8)
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=32, channel_base=1024, channel_max=64, num_epochs=2,
+        crop_size=16, manifold_items=8)
+    batch = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    bundle = jax.device_put(bundle, repl)
+    walk = jax.jit(fns.walk,
+                   in_shardings=(repl, batch, repl, repl),
+                   out_shardings=(batch, batch, repl))
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg,
+                                                          batch_size=16)
+    w0 = jax.device_put(w0, batch)
+    return walk.lower(bundle, w0, crop_pos, synth_key).compile()
+
+
+def test_walk_hlo_has_no_activation_gathers(compiled_walk):
+    census = audit.audit_compiled_walk(compiled_walk)
+    # The program is genuinely distributed: the batch-mean loss reductions
+    # must appear as cross-device all-reduces.
+    assert census.get("all-reduce"), \
+        f"expected loss-reduction all-reduces, census: {census}"
+
+
+def test_walk_output_stays_batch_sharded(compiled_walk):
+    shardings = compiled_walk.output_shardings
+    img_spec = shardings[0].spec
+    assert img_spec[0] is not None and "data" in str(img_spec[0]), \
+        f"final image lost its batch sharding: {img_spec}"
+
+
+# ----------------------------------------------------------------------------
+# Detector sensitivity: a deliberate mid-graph replication must be caught
+
+def test_audit_catches_deliberate_activation_gather():
+    mesh = pmesh.get_mesh(8)
+    batch = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+
+    def bad_fn(x):
+        # Replicate a big activation: a batch-sharded input forced to a
+        # replicated intermediate that the output depends on elementwise,
+        # so GSPMD must materialize the all-gather (a reduction consumer
+        # lets it elide the constraint shard-wise — measured).
+        y = jax.lax.with_sharding_constraint(x * 2.0, repl)
+        return y + 1.0
+
+    x = jax.device_put(jnp.ones((16, 2, 64, 64), jnp.float32), batch)
+    compiled = jax.jit(bad_fn, in_shardings=(batch,),
+                       out_shardings=repl).lower(x).compile()
+    census = audit.collective_census(compiled.as_text())
+    with pytest.raises(AssertionError, match="batch dim is not sharded"):
+        audit.audit_walk_collectives(census)
