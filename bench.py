@@ -45,6 +45,13 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
+
+    # --policy / LATAUG_BENCH_POLICY: time the PUBLIC per-batch protocol
+    # (set_input -> forward -> get_output: inversion-zip lookups, loader,
+    # host<->device transfers) instead of the jitted walk alone — the
+    # reference's own throughput protocol (backbone_latentaug.py:123-124).
+    if "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY"):
+        return run_policy_mode(on_tpu)
     if on_tpu:
         res, batch, k = 256, 32, 10
         channel_base, channel_max, crop = 32768, 512, 64
@@ -135,6 +142,51 @@ def main():
         "chains_s": [round(c, 3) for c in chains],
         "warm_single_batch_s": round(warm, 3),
     }))
+
+
+def run_policy_mode(on_tpu):
+    """One JSON line: augmented samples/s through the full policy path."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from latentaugment_tpu import benchmark
+
+    if on_tpu:
+        res, batch, k = 256, 32, 10
+        channel_base, channel_max, crop = 32768, 512, 64
+        n_batches = 4
+    else:
+        res, batch, k = 32, 8, 3
+        channel_base, channel_max, crop = 1024, 64, 16
+        n_batches = 3
+
+    root = tempfile.mkdtemp(prefix="lataug_policy_bench_")
+    try:
+        argv = benchmark.build_policy_workspace(
+            root, res=res, batch_size=batch, num_epochs=k,
+            crop_size=crop, channel_base=channel_base,
+            channel_max=channel_max,
+            n_patients=4, slices_per_patient=max(24, batch))
+        times, batch = benchmark.run_policy_bench(argv, n_batches=n_batches)
+        dt = float(np.mean(times))
+        sps = batch / dt
+        print(f"[bench --policy] per-batch times (first discarded): "
+              f"{[round(t, 3) for t in times]}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "policy_samples_per_sec_256px_K10" if on_tpu
+                      else "policy_samples_per_sec_cpu_smoke",
+            "value": round(sps, 3),
+            "unit": "samples/s",
+            "vs_baseline": round(sps / A5000_BASELINE_SAMPLES_PER_SEC, 3)
+                           if on_tpu else 0.0,
+            "batch": batch,
+            "per_batch_s": [round(t, 3) for t in times],
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,8 @@ walk the LatentAugment engine runs — for throughput benchmarking
 (bench.py) and the multichip compile dry-run (__graft_entry__.py).
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -95,3 +97,130 @@ def example_walk_args(g_cfg, batch_size, seed=0):
     crop_pos = jnp.asarray([3, 5], dtype=jnp.int32)
     synth_key = jax.random.PRNGKey(seed + 1)
     return w0, crop_pos, synth_key
+
+
+# ----------------------------------------------------------------------------
+# Policy-path benchmark fixture: the reference's throughput protocol times
+# set_input -> forward -> get_output through the PUBLIC policy (inversion-zip
+# lookups, host<->device transfers, prefetch loader), not just the jitted
+# walk (backbone_latentaug.py:123-124, stats_time latent_aug.py:240-276).
+
+def build_policy_workspace(root, res=256, batch_size=32, num_epochs=10,
+                           opt_lr=0.01, crop_size=64, channel_base=32768,
+                           channel_max=512, num_fp16_res=4, n_patients=4,
+                           slices_per_patient=24, step=10, seed=0):
+    """Create a synthetic on-disk workspace (image zip, inversion zip,
+    native checkpoint) at the requested shapes and return the AugOptions
+    argv that runs the full LatentAugment policy on it.
+
+    Shapes/weights default to the bench.py operating point so the policy
+    program hits the same persistent compilation cache as the walk bench.
+    """
+    import io
+    import pickle
+    import zipfile
+
+    from .models.stylegan2 import convert
+
+    modalities = ["MR_nonrigid_CT", "MR_MR_T2"]
+    dataset = "PolicyBench"
+    dataset_name = f"PolicyBench-images-{res}"
+    w_name = f"PolicyBench-inv-{res}"
+    interim = os.path.join(root, "interim")
+    ddir = os.path.join(interim, dataset)
+    os.makedirs(ddir, exist_ok=True)
+
+    g_cfg = networks.generator_config(
+        img_resolution=res, img_channels=len(modalities),
+        channel_base=channel_base, channel_max=channel_max,
+        num_fp16_res=(num_fp16_res if res >= 64 else 0))
+    d_cfg = networks.discriminator_config(
+        img_resolution=res, img_channels=len(modalities),
+        channel_base=channel_base, channel_max=channel_max,
+        mbstd_group_size=4, num_fp16_res=(num_fp16_res if res >= 64 else 0))
+    kg, kd = jax.random.split(jax.random.PRNGKey(seed))
+    ckpt = os.path.join(root, "policy_ckpt.pkl")
+    convert.save_checkpoint(ckpt, networks.generator_init(kg, g_cfg), g_cfg,
+                            networks.discriminator_init(kd, d_cfg), d_cfg)
+
+    rng = np.random.RandomState(seed)
+    img_zip = os.path.join(ddir, dataset_name + ".zip")
+    fnames = []
+    with zipfile.ZipFile(img_zip, "w") as zf:
+        for p in range(n_patients):
+            for s in range(slices_per_patient):
+                slice_id = 10 + s * 5  # ids 00010.. (schedule-compatible)
+                name = (f"train/patient{p:03d}/"
+                        f"train_patient{p:03d}_{slice_id:05d}.pickle")
+                img = {m: rng.rand(res, res).astype(np.float32) * 255.0
+                       for m in modalities}
+                buf = io.BytesIO()
+                pickle.dump(img, buf)
+                zf.writestr(name, buf.getvalue())
+                fnames.append(name)
+
+    w_zip = os.path.join(ddir, w_name + ".zip")
+    with zipfile.ZipFile(w_zip, "w") as zf:
+        for name in fnames:
+            w = rng.randn(g_cfg.num_ws, g_cfg.w_dim).astype(np.float32) * 0.1
+            buf = io.BytesIO()
+            pickle.dump(w, buf)
+            zf.writestr(name, buf.getvalue())
+
+    argv = [
+        "--dataroot", img_zip,
+        "--checkpoints_dir", os.path.join(root, "checkpoints"),
+        "--dataset_mode", "pelvis",
+        "--load_size", str(res),
+        "--batch_size", str(batch_size),
+        "--aug", "latent",
+        "--model_dir", ckpt,
+        "--interim_dir", interim,
+        "--dataset_aug", dataset,
+        "--dataset_name_aug", dataset_name,
+        "--dataset_w_name", w_name,
+        "--img_resolution", str(res),
+        "--crop_size_aug", str(crop_size),
+        "--init_w", "inv",
+        "--step_img", str(step),
+        "--step_w", str(step),
+        "--opt_num_epochs", str(num_epochs),
+        "--opt_lr", str(opt_lr),
+        # Tuned operating point (backbone_latentaug.py:46-54) + always-on
+        # augmentation so every batch runs the walk.
+        "--w_lpips", "10", "--w_pix", "0.1", "--w_latent", "0.001",
+        "--w_disc", "0.01", "--p_thres", "0.0",
+        "--num_fp16_res", str(num_fp16_res),
+        "--name", "policy_bench",
+    ]
+    return argv
+
+
+def run_policy_bench(argv, n_batches=4):
+    """Run the public per-batch protocol; returns (per-batch times[1:],
+    batch_size). The first batch (compile + stat building already done at
+    create_augment time; first forward still pays dispatch warmup) is
+    discarded exactly as the reference's stats_time[1:] protocol."""
+    import time
+
+    from .augments import create_augment
+    from .data import create_dataset
+    from .options import AugOptions
+
+    opt = AugOptions().parse(argv=argv, install_logger=False)
+    dataset = create_dataset(opt)
+    augment = create_augment(opt)
+
+    times = []
+    it = iter(dataset)
+    for i in range(n_batches):
+        data = next(it)
+        t0 = time.time()
+        augment.set_input(data)
+        augment.forward()
+        out = augment.get_output()
+        # get_output returns host numpy — forcing a sum guarantees the
+        # bytes are real (relay fetch), not a lazy view.
+        assert np.isfinite(out["A"].sum()) and np.isfinite(out["B"].sum())
+        times.append(time.time() - t0)
+    return times[1:], opt.batch_size

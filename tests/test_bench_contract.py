@@ -31,6 +31,26 @@ def test_bench_cpu_smoke():
     assert len(rec["chains_s"]) == 2 and all(c > 0 for c in rec["chains_s"])
 
 
+
+def test_bench_policy_cpu_smoke():
+    """--policy mode: one JSON line timing the public per-batch protocol
+    (set_input -> forward -> get_output) on a synthetic workspace."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['bench.py', '--policy'];"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = dict(os.environ, LATAUG_BENCH_FORCE_CPU="1")
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=540)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "policy_samples_per_sec_cpu_smoke"
+    assert rec["value"] > 0
+    assert len(rec["per_batch_s"]) >= 2
+
 def test_inception_torchvision_mapping():
     """convert_torchvision_state must place conv/bn leaves at the right
     tree paths (verified by shape + value round-trip)."""
