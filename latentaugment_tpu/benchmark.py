@@ -212,15 +212,23 @@ def run_policy_bench(argv, n_batches=4):
     augment = create_augment(opt)
 
     times = []
+    phases = []  # per-batch [set_input, forward, get_output] seconds
     it = iter(dataset)
     for i in range(n_batches):
         data = next(it)
         t0 = time.time()
         augment.set_input(data)
+        t1 = time.time()
         augment.forward()
+        t2 = time.time()
         out = augment.get_output()
         # get_output returns host numpy — forcing a sum guarantees the
         # bytes are real (relay fetch), not a lazy view.
         assert np.isfinite(out["A"].sum()) and np.isfinite(out["B"].sum())
-        times.append(time.time() - t0)
-    return times[1:], opt.batch_size
+        t3 = time.time()
+        times.append(t3 - t0)
+        # forward dispatches the jitted walk asynchronously, so the device
+        # time lands in get_output's host fetch; set_input/forward isolate
+        # the host-side prep (zip lookups, batch concat, w upload).
+        phases.append([t1 - t0, t2 - t1, t3 - t2])
+    return times[1:], opt.batch_size, phases[1:]

@@ -7,10 +7,12 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_cpu_smoke():
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
@@ -26,12 +28,14 @@ def test_bench_cpu_smoke():
                         "oom_fallback", "chains_s", "warm_single_batch_s"}
     assert rec["value"] > 0
     assert rec["oom_fallback"] is False
-    # Both timing chains are reported so a relay stall is distinguishable
-    # from a regression (round-2 VERDICT weak #6 / #8).
-    assert len(rec["chains_s"]) == 2 and all(c > 0 for c in rec["chains_s"])
+    # All timing chains are reported so a relay stall is distinguishable
+    # from a regression (round-2 VERDICT weak #6 / #8); bench adds chains
+    # (up to 4) until the best two agree within 15%.
+    assert 2 <= len(rec["chains_s"]) <= 4 and all(c > 0 for c in rec["chains_s"])
 
 
 
+@pytest.mark.slow
 def test_bench_policy_cpu_smoke():
     """--policy mode: one JSON line timing the public per-batch protocol
     (set_input -> forward -> get_output) on a synthetic workspace."""
@@ -50,6 +54,11 @@ def test_bench_policy_cpu_smoke():
     assert rec["metric"] == "policy_samples_per_sec_cpu_smoke"
     assert rec["value"] > 0
     assert len(rec["per_batch_s"]) >= 2
+    # Per-phase attribution: [set_input, forward, get_output] per batch,
+    # so host-IO overhead is auditable from the bench JSON alone.
+    assert len(rec["phase_s"]) == len(rec["per_batch_s"])
+    assert all(len(ph) == 3 and all(p >= 0 for p in ph)
+               for ph in rec["phase_s"])
 
 def test_inception_torchvision_mapping():
     """convert_torchvision_state must place conv/bn leaves at the right

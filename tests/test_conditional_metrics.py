@@ -14,6 +14,7 @@ import jax
 
 from latentaugment_tpu.metrics import metric_utils
 from latentaugment_tpu.models.stylegan2 import networks
+import pytest
 
 MODALITIES = ["A", "B"]
 
@@ -59,6 +60,7 @@ def test_label_bank_mismatch_falls_back(tmp_path):
     assert metric_utils._dataset_label_bank(opts2, c_dim=3) is None
 
 
+@pytest.mark.slow
 def test_generator_stats_conditional(tmp_path):
     """Feature stats run end-to-end on a conditional G, labels drawn from
     the labeled dataset."""

@@ -34,12 +34,14 @@ def _run_once(ws, seed, name):
     return np.concatenate(outs)
 
 
+@pytest.mark.slow
 def test_same_seed_same_stream(ws):
     a = _run_once(ws, 7, "det_a")
     b = _run_once(ws, 7, "det_b")
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_different_seed_different_stream(ws):
     a = _run_once(ws, 7, "det_c")
     b = _run_once(ws, 8, "det_d")

@@ -11,6 +11,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -22,6 +23,7 @@ def _clean_env():
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_subprocess():
     """The driver's exact call: python -c 'from __graft_entry__ import ...'."""
     code = (
@@ -52,6 +54,7 @@ def test_package_import_does_not_touch_backend():
     assert "OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_bench_json_contract_fresh_subprocess():
     """bench.py must print exactly one parseable JSON line on stdout with the
     required keys, in the driver's environment (CPU fallback path here)."""

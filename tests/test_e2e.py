@@ -39,6 +39,7 @@ def test_dataset_contract(ws):
     assert isinstance(batch["A_paths"][0], str)
 
 
+@pytest.mark.slow
 def test_latent_augment_full_walk(ws):
     opt = _parse(ws, ["--init_w", "inv", "--p_thres", "0.0",
                       "--w_pix", "0.1", "--w_lpips", "1.0",
@@ -118,6 +119,7 @@ def test_soft_aug_interpolation(ws):
     np.testing.assert_allclose(w_in["w"], w_out["w"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lower_bound_clip(ws):
     opt = _parse(ws, ["--init_w", "inv", "--p_thres", "0.0",
                       "--lower_bound_clip"])

@@ -19,6 +19,7 @@ def ws(tmp_path_factory):
     return build_workspace(tmp_path_factory.mktemp("ws2"))
 
 
+@pytest.mark.slow
 def test_verbose_log_traces_and_snapshot(ws):
     opt = AugOptions().parse(
         argv=ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
@@ -82,6 +83,7 @@ def test_num_fp16_res_runtime_knob(ws):
     assert np.isfinite(out32["A"]).all()
 
 
+@pytest.mark.slow
 def test_lpips_tr_variant(ws):
     """--lpips_script other than 'lpips_script' selects the local LPIPS
     criterion path (calc_loss_lpips_tr parity)."""
@@ -104,6 +106,7 @@ def test_lpips_tr_variant(ws):
     assert np.isfinite(e0["loss_lpips"]) and e0["loss_lpips"] > 0
 
 
+@pytest.mark.slow
 def test_debug_walk_snapshots_and_gif(ws, tmp_path):
     """VERDICT #6: verbose batch-1 walk writes per-epoch w/img snapshots
     and per-term times, and create_gif assembles the frames."""
@@ -145,6 +148,7 @@ def test_debug_walk_snapshots_and_gif(ws, tmp_path):
     assert os.path.getsize(outs[0]) > 0
 
 
+@pytest.mark.slow
 def test_debug_walk_matches_fused_walk(ws):
     """The un-scanned debug walk follows the same trajectory as the fused
     lax.scan walk (shared adam_step).

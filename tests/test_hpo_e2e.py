@@ -9,6 +9,7 @@ import pytest
 from synthetic import build_workspace
 
 
+@pytest.mark.slow
 def test_hpo_single_trial(tmp_path_factory, tmp_path, monkeypatch):
     monkeypatch.setenv("LATENTAUGMENT_CACHE_DIR", str(tmp_path / "cache"))
     ws = build_workspace(tmp_path_factory.mktemp("ws_hpo"))

@@ -15,6 +15,7 @@ def ws(tmp_path_factory):
     return build_workspace(tmp_path_factory.mktemp("ws_mesh"))
 
 
+@pytest.mark.slow
 def test_policy_with_mesh(ws):
     argv = list(ws["argv"])
     argv[argv.index("--batch_size") + 1] = "8"  # divisible by 8 devices

@@ -140,6 +140,7 @@ def test_calc_metric_pr_end_to_end(metric_ws, tmp_path):
     assert 0.0 <= p <= 1.0 and 0.0 <= r <= 1.0
 
 
+@pytest.mark.slow
 def test_calc_metric_fid_live_generator(metric_ws, tmp_path):
     os.environ["LATENTAUGMENT_CACHE_DIR"] = str(tmp_path / "cache2")
     from latentaugment_tpu.models.stylegan2 import convert
@@ -167,6 +168,7 @@ def test_calc_metric_fid_live_generator(metric_ws, tmp_path):
 # plumbing; now detector batches and PR distance tiles shard over it).
 
 
+@pytest.mark.slow
 def test_sharded_detector_matches_single_device():
     from latentaugment_tpu.metrics import metric_utils
     from latentaugment_tpu.parallel import mesh as pmesh
@@ -197,6 +199,7 @@ def test_sharded_distance_tiles_match():
     np.testing.assert_allclose(d_sharded, d_single, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_fid_pr_match_single_device(metric_ws, tmp_path):
     """Full calc_metric with a mesh == without (cache disabled so both
     paths really extract features)."""

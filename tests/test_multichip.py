@@ -6,12 +6,14 @@ import jax
 
 from latentaugment_tpu import benchmark
 from latentaugment_tpu.parallel import mesh as pmesh
+import pytest
 
 
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -20,6 +22,7 @@ def test_dryrun_multichip_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_walk_matches_single_device():
     """Batch-sharded walk must produce identical results to unsharded."""
     fns, bundle, g_cfg = benchmark.build_synthetic_setup(

@@ -112,6 +112,7 @@ def test_noise_modes_differ(tiny_g):
     assert not np.allclose(np.asarray(c), np.asarray(d))
 
 
+@pytest.mark.slow
 def test_discriminator(tiny_d):
     params, cfg = tiny_d
     img = jax.random.normal(jax.random.PRNGKey(8), (4, 2, 32, 32))

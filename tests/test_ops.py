@@ -277,6 +277,7 @@ def test_auto_blur_dispatch_gating():
         uf_mod.set_allow_pallas_blur(prev_allow)
 
 
+@pytest.mark.slow
 def test_upfirdn2d_fuzz_vs_ref():
     """Seeded sweep of random (up, down, padding incl. crops, anisotropy,
     filter size, separability, gain) configs: impl='xla' (the TPU

@@ -5,10 +5,12 @@ sg2_metrics_analysis + umap_analysis + create_gif equivalents)."""
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end():
     env = dict(os.environ, LATAUG_PIPELINE_FORCE_CPU="1")
     res = subprocess.run(

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from latentaugment_tpu.models import pix2pix
+import pytest
 
 
 def test_shapes_and_param_count():
@@ -82,6 +83,7 @@ def test_train_step_sharded_matches_single():
                                    rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_example_runs_end_to_end(tmp_path):
     """The worked example trains on real LatentAugment output."""
     import examples.train_pix2pix as ex

@@ -6,8 +6,10 @@ import numpy as np
 import jax
 
 from latentaugment_tpu import benchmark
+import pytest
 
 
+@pytest.mark.slow
 def test_walk_total_loss_decreases():
     """The Adam walk minimizes (-latent - pix - lpips + disc)."""
     fns, bundle, g_cfg = benchmark.build_synthetic_setup(
@@ -36,6 +38,7 @@ def test_walk_diversity_terms_increase():
     assert pix[-1] > pix[0], f"pixel distance did not grow: {pix}"
 
 
+@pytest.mark.slow
 def test_walk_disc_only_decreases_disc_loss():
     """With only the realism term, softplus(-D) should fall."""
     fns, bundle, g_cfg = benchmark.build_synthetic_setup(
