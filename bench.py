@@ -133,7 +133,7 @@ def main():
     dt = dt_total / iters
     sps = batch / dt
     print(f"[bench] warm single-batch {warm:.3f}s; {iters}-iter chains "
-          f"[{chains[0]:.3f}s, {chains[1]:.3f}s] -> best {dt:.3f}s/batch",
+          f"{[round(c, 3) for c in chains]} -> best {dt:.3f}s/batch",
           file=sys.stderr)
 
     vs = sps / A5000_BASELINE_SAMPLES_PER_SEC if on_tpu else 0.0

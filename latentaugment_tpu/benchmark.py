@@ -198,9 +198,10 @@ def build_policy_workspace(root, res=256, batch_size=32, num_epochs=10,
 
 def run_policy_bench(argv, n_batches=4):
     """Run the public per-batch protocol; returns (per-batch times[1:],
-    batch_size). The first batch (compile + stat building already done at
-    create_augment time; first forward still pays dispatch warmup) is
-    discarded exactly as the reference's stats_time[1:] protocol."""
+    batch_size, per-phase times[1:] as [set_input, forward, get_output]
+    seconds per batch). The first batch (compile + stat building already
+    done at create_augment time; first forward still pays dispatch warmup)
+    is discarded exactly as the reference's stats_time[1:] protocol."""
     import time
 
     from .augments import create_augment

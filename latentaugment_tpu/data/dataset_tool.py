@@ -682,18 +682,21 @@ def process_tiff(source, source_interim, source_box, dest, dataset,
         # `<id_patient>_<int(id_slice):05d>`).
         id_slice = int(stem.split("_")[-1]) if stem.split("_")[-1].isdigit() else 0
 
+        out_path = os.path.join(temp, id_patient,
+                                f"{id_patient}_{id_slice:05d}.pickle")
+        util_path.create_dir(os.path.dirname(out_path))
+        # Resume check BEFORE the load+transform so a rerun over a
+        # mostly-complete dataset skips the expensive work, not just the
+        # final write.
+        if not is_overwrite and os.path.exists(out_path):
+            continue
+
         raw = load_slice_2d(_find_slice_file(source, rel))
         img_arr = transform_tiff_slice(
             raw, resolution, box=boxes.get(id_patient), box_value=box_value,
             clip=clip, scale=scale, convert_to_uint8=convert_to_uint8,
             scale_by_255=scale_by_255)
         img = {mode[0]: img_arr}
-
-        out_path = os.path.join(temp, id_patient,
-                                f"{id_patient}_{id_slice:05d}.pickle")
-        util_path.create_dir(os.path.dirname(out_path))
-        if not is_overwrite and os.path.exists(out_path):
-            continue
 
         if is_sanity_check and random.random() < sanity_check_prob:
             _sanity_tiff(img_arr, dest, id_patient,
@@ -742,6 +745,21 @@ def _sanity_tiff(img_arr, dest, patient, name):
 # ----------------------------------------------------------------------------
 # claro recipe (parity: prepare_claro dataset_tool.py:1055-1117)
 
+def _snap_zip_step(data_dir, interim_dir, validation, opts):
+    """Shared snap_zip step body (claro + Pelvis recipes): zip the temp
+    pickle tree with train/val/test splits; returns the zip path."""
+    temp = os.path.join(data_dir, "temp")
+    temp = temp if os.path.isdir(temp) else data_dir
+    patients = [p for p in sorted(os.listdir(temp))
+                if os.path.isdir(os.path.join(temp, p))]
+    patients = patients[:opts.max_patients]
+    dest_zip = os.path.join(
+        interim_dir, f"{opts.dataset}-num-{len(patients):06d}.zip")
+    splits = make_splits(patients, *validation["split"], seed=opts.seed)
+    snap_zip(temp, dest_zip, splits)
+    return dest_zip
+
+
 def prepare_claro(data_dir, interim_dir, reports_dir, data_dir_box, cfg, opts):
     """Dispatch one claro processing step from a parsed config dict."""
     data_cfg = cfg["data"]
@@ -766,16 +784,7 @@ def prepare_claro(data_dir, interim_dir, reports_dir, data_dir_box, cfg, opts):
             convert_to_uint8=options["convert_to_uint8"],
             scale_by_255=options["scale_by_255"])
     if opts.processing_step == "snap_zip":
-        temp = os.path.join(data_dir, "temp")
-        temp = temp if os.path.isdir(temp) else data_dir
-        patients = [p for p in sorted(os.listdir(temp))
-                    if os.path.isdir(os.path.join(temp, p))]
-        patients = patients[:opts.max_patients]
-        dest_zip = os.path.join(
-            interim_dir, f"{opts.dataset}-num-{len(patients):06d}.zip")
-        splits = make_splits(patients, *validation["split"], seed=opts.seed)
-        snap_zip(temp, dest_zip, splits)
-        return dest_zip
+        return _snap_zip_step(data_dir, interim_dir, validation, opts)
     raise NotImplementedError(
         f"claro has no step {opts.processing_step!r} (reference supports "
         "process_tiff and snap_zip — dataset_tool.py:1101-1117)")
@@ -1008,15 +1017,7 @@ def _prepare_pelvis_step(data_dir, interim_dir, reports_dir, data_dir_mask,
                            apply_mask=options.get("apply_mask", False),
                            is_overwrite=True)
     if step == "snap_zip":
-        temp = os.path.join(data_dir, "temp")
-        temp = temp if os.path.isdir(temp) else data_dir
-        patients = [p for p in sorted(os.listdir(temp))
-                    if os.path.isdir(os.path.join(temp, p))]
-        patients = patients[:opts.max_patients]
-        dest_zip = os.path.join(
-            interim_dir, f"{opts.dataset}-num-{len(patients):06d}.zip")
-        splits = make_splits(patients, *validation["split"], seed=opts.seed)
-        return snap_zip(temp, dest_zip, splits)
+        return _snap_zip_step(data_dir, interim_dir, validation, opts)
     raise NotImplementedError(
         f"Pelvis_2.1 has no step {step!r} (process_tiff is claro-only — "
         "ref dataset_tool.py:1101)")

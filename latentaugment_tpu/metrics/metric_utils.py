@@ -422,9 +422,13 @@ def _dataset_label_bank(opts, c_dim, max_items=10000):
             path=dk["path"], modalities=dk.get("modalities", []),
             split=dk.get("split", "train"), use_labels=True)
         if not ds.has_labels or ds.label_dim != c_dim:
-            print(f"[metrics] WARNING: dataset label_dim != G c_dim "
-                  f"({ds.label_shape} vs {c_dim}); sampling uniform labels")
-            return None
+            # Same error class as an unreadable zip: use_labels=True was an
+            # explicit request, so a schema mismatch must not silently skew
+            # conditional FID via the uniform fallback (round-3 review).
+            raise RuntimeError(
+                f"use_labels=True but dataset labels do not match G: "
+                f"label_shape={ds.label_shape} vs c_dim={c_dim} "
+                f"(path={dk.get('path')!r})")
         n = min(len(ds), max_items)
         return np.stack([ds.get_label(i) for i in range(n)]).astype(np.float32)
     except (OSError, KeyError, ValueError, zipfile.BadZipFile) as e:

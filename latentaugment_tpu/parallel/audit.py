@@ -61,20 +61,24 @@ def format_census(census):
     return ", ".join(parts)
 
 
-def audit_walk_collectives(census, *, max_gather_elements=65536,
+def audit_walk_collectives(census, *, max_gather_elements=1024,
                            max_reduce_elements=1 << 22):
     """Raise AssertionError when the census shows the data-parallel
     contract was broken.
 
-    - all-gather / all-to-all of activation-sized tensors (> 64k elements
-      by default — w-latent bookkeeping is ~B*num_ws*w_dim ≈ 16k at
-      production shapes, feature maps are millions) means the batch dim
-      was de-sharded mid-walk.
+    - The walk's math needs NO gathers at all (inputs, Adam state, and
+      outputs stay batch-sharded; manifold buffers are replicated), so
+      any all-gather / all-to-all / collective-permute beyond trivial
+      bookkeeping (> 1024 elements — RNG keys, scalars) means the batch
+      dim was de-sharded mid-walk. The ceiling must stay below the
+      SMALLEST activation at dryrun shapes (a 4²×64ch×B=16 block is
+      16384 elements; the dryrun's final image 32768) — a 64k ceiling
+      would silently pass a de-sharded low-res program (round-3 review).
     - all-reduce is expected (batch-mean loss terms, replicated-operand
       gradient sums) but must stay far below activation size.
     Returns the census for chaining."""
     problems = []
-    for op in ("all-gather", "all-to-all"):
+    for op in ("all-gather", "all-to-all", "collective-permute"):
         for n in census.get(op, []):
             if n > max_gather_elements:
                 problems.append(

@@ -9,6 +9,7 @@ import pickle
 import zipfile
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -48,13 +49,17 @@ def test_label_bank_reads_dataset_distribution(tmp_path):
     np.testing.assert_allclose(bank.sum(1), 1.0)
 
 
-def test_label_bank_mismatch_falls_back(tmp_path):
+def test_label_bank_mismatch_raises(tmp_path):
+    """use_labels=True is an explicit request: a label-schema mismatch must
+    fail loudly (like an unreadable zip), not silently skew conditional FID
+    via the uniform fallback. Without use_labels the bank is simply None."""
     zpath = tmp_path / "set.zip"
     _labeled_zip(zpath, c_dim=3)
     opts = metric_utils.MetricOptions(dataset_kwargs=dict(
         path=str(zpath), modalities=MODALITIES, split="train",
         use_labels=True))
-    assert metric_utils._dataset_label_bank(opts, c_dim=7) is None
+    with pytest.raises(RuntimeError, match="do not match"):
+        metric_utils._dataset_label_bank(opts, c_dim=7)
     opts2 = metric_utils.MetricOptions(dataset_kwargs=dict(
         path=str(zpath), modalities=MODALITIES, split="train"))
     assert metric_utils._dataset_label_bank(opts2, c_dim=3) is None

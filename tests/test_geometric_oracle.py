@@ -67,8 +67,15 @@ def test_affine_warp_matches_kornia(angle, trans):
 
 def test_affine_rotation_direction_pins_sign():
     """A wrong angle sign would still pass symmetric-distribution property
-    tests; the oracle pins the direction. Rotating a bright off-center
-    pixel by +90deg must land where kornia puts it."""
+    tests (RandomAffine draws from the symmetric [-deg, +deg], so the
+    AUGMENTATION distribution is sign-invariant); this pins the
+    deterministic convention so a refactor cannot silently flip it.
+
+    Convention pinned: kornia's get_affine_matrix2d passes -angle into
+    get_rotation_matrix2d (the documented RandomAffine quirk), so +90 deg
+    is VISUALLY CLOCKWISE in image coords — a pixel north of center lands
+    EAST. (kornia.geometry.rotate, without the negation, would put it
+    west.) One-sided assertions: east bright AND west empty."""
     x = np.zeros((1, 1, 9, 9), np.float32)
     x[0, 0, 1, 4] = 1.0  # north of center
     ours = np.asarray(ga.affine_warp(jnp.asarray(x),
@@ -77,7 +84,9 @@ def test_affine_rotation_direction_pins_sign():
     ref = oracle.kornia_affine_oracle(x, [90.0], [[0.0, 0.0]]).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-5)
     assert ref[0, 0].max() > 0.5  # the pixel survived the warp
-    assert ours[0, 0, 4, 1] > 0.5 or ours[0, 0, 4, 7] > 0.5
+    assert ours[0, 0, 4, 7] > 0.5, "north pixel must land EAST at +90deg"
+    assert ours[0, 0, 4, 1] < 0.1, "west must stay empty (sign flipped?)"
+    assert ours[0, 0, 1, 4] < 0.1, "pixel must actually move"
 
 
 # ----------------------------------------------------------------------------
