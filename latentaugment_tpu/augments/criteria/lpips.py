@@ -90,18 +90,21 @@ class LPIPS:
                         for t in self.target_layers}
         self._extract = jax.jit(self._extract_impl)
 
-    def _extract_impl(self, x):
+    def _extract_impl(self, params, x):
+        # params is a jit ARGUMENT, never a closure constant: closed-over
+        # arrays are baked into the HLO as literals and the TPU relay
+        # rejects the resulting >MB request bodies (CLAUDE.md).
         if self._input_scale == "0_255":
             # [-1,1] -> [0,255] for the shared VGG input convention.
-            acts = self._taps_fn(self.params, (x + 1.0) * 127.5)
+            acts = self._taps_fn(params, (x + 1.0) * 127.5)
         else:
-            acts = self._taps_fn(self.params, x)
+            acts = self._taps_fn(params, x)
         return [_normalize_act(acts[t].astype(jnp.float32))
                 for t in self.target_layers]
 
     def extract_features(self, x):
         """[N,3,H,W] in [-1,1] -> list of unit-normalized activations."""
-        return self._extract(jnp.asarray(x))
+        return self._extract(self.params, jnp.asarray(x))
 
     def _layer_dist(self, fx, fy, tap):
         w = jnp.maximum(self.lin[tap], 0.0)[None, :, None, None]

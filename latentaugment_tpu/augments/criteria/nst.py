@@ -28,12 +28,14 @@ class VGG19Net:
         self.params = params if params is not None else vgg.init_vgg(
             jax.random.PRNGKey(seed), plan=vgg.VGG19_PLAN, lpips_lin=False)
         taps = STYLE_LAYERS + [CONTENT_LAYER]
-        self._run = jax.jit(lambda x: vgg.vgg_features(
-            self.params, x, plan=vgg.VGG19_PLAN, taps=taps))
+        # Params as a jit ARGUMENT, not a closure constant — closed-over
+        # arrays bake into the HLO and break relay compiles (CLAUDE.md).
+        self._run = jax.jit(lambda p, x: vgg.vgg_features(
+            p, x, plan=vgg.VGG19_PLAN, taps=taps))
 
     def __call__(self, x):
         """[N,3,H,W] in [0,255] -> (style_acts list, content_act)."""
-        acts = self._run(jnp.asarray(x))
+        acts = self._run(self.params, jnp.asarray(x))
         return [acts[t] for t in STYLE_LAYERS], acts[CONTENT_LAYER]
 
 

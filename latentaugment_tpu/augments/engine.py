@@ -171,7 +171,6 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
             feats = embedding_from_params(bundle["vgg"],
                                           bundle["lpips_lin"], xm)
         feats = feats.reshape(b, n_modes, -1)
-        fea_summaries = bundle["fea_summaries"]
         acc = 0.0
         for m in modalities:
             acc += w_lpips * losses.l2_mean_loss(
@@ -696,12 +695,25 @@ class LatentAugEngine:
                                       step=step)
         for idx in range(len(dataset)):
             x, fname = dataset[idx]
+            if stats.is_full():
+                break
             if manifold_name == "img":
                 item = x[None] / 127.5 - 1.0  # [-1, 1], as synthetic images
             elif manifold_name == "latent":
                 item = x[None]
             elif manifold_name == "features_jit":
-                item = np.asarray(self._extract_features(x, mode_id))
+                # Draw the crop params for EVERY item (keeps the admitted
+                # items' crop stream bit-identical to the unskipped loop
+                # and to existing caches), but run the jitted VGG pass —
+                # a device round-trip — only for items the schedule
+                # admits: with step=20 that's ~6 of ~110 slices/patient,
+                # an ~18x manifold-build saving on the TPU relay.
+                params = manifold.get_params(
+                    self.res, self.crop_size, self.preprocess,
+                    rng=self._manifold_rng)
+                if not stats.admits(fname):
+                    continue
+                item = np.asarray(self._extract_features(x, mode_id, params))
             else:
                 raise NotImplementedError(manifold_name)
             if stats.append(item, fname) < 0:
@@ -709,11 +721,13 @@ class LatentAugEngine:
         stats.save(cache_file)
         return stats
 
-    def _extract_features(self, img, mode_id):
+    def _extract_features(self, img, mode_id, params=None):
         """LPIPS embedding of one [modes, H, W] raw [0,255] image crop."""
         x = np.asarray(img, dtype=np.float32)[mode_id][None, None]  # [1,1,H,W]
-        params = manifold.get_params(self.res, self.crop_size, self.preprocess,
-                                     rng=self._manifold_rng)
+        if params is None:
+            params = manifold.get_params(self.res, self.crop_size,
+                                         self.preprocess,
+                                         rng=self._manifold_rng)
         transform = manifold.get_transform(self.res, self.crop_size,
                                            self.preprocess, params)
         x = transform(jnp.asarray(x))

@@ -62,6 +62,11 @@ class DatasetStats:
             return True
         return self._slice_id(fname) in self.schedule
 
+    def admits(self, fname):
+        """Public schedule check, so builders can skip expensive work
+        (device feature extraction) for items append() would filter."""
+        return self._admit(fname)
+
     def append(self, x, fname=None):
         """Add a [1, ...] item; returns #added, 0 if filtered, -1 if full."""
         x = np.asarray(x, dtype=np.float32)

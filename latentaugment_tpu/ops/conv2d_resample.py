@@ -111,7 +111,11 @@ def _transpose_conv_subpixel(x, w, stride, padding, groups):
         for rx in range(sx):
             s_rx, k_rx, l_rx, pl_x, ph_x = parity_params(rx, sx, qx, kw, in_w,
                                                          out_w)
-            if l_ry <= 0 or l_rx <= 0:
+            # A parity class with no output positions (l <= 0, tiny
+            # outputs) or no kernel taps (k_r == 0, kernel smaller than
+            # the stride) contributes nothing: emit zeros via the scatter
+            # path instead of a zero-size conv (which XLA rejects).
+            if l_ry <= 0 or l_rx <= 0 or k_ry == 0 or k_rx == 0:
                 cols.append(None)
                 continue
             sub_w = w[:, :, s_ry::sy, s_rx::sx]
@@ -128,8 +132,10 @@ def _transpose_conv_subpixel(x, w, stride, padding, groups):
     # Interleave the parity outputs back to full resolution. When every
     # parity class has equal length (out dims divisible by stride — the
     # SG2 case) a stack+reshape does it with pure data movement; otherwise
-    # fall back to strided scatter.
-    out_c = rows[0][0].shape[1]
+    # fall back to strided scatter. out_c/dtype come from the weights, not
+    # rows[0][0], which is None for zero-contribution parity classes.
+    out_c = w.shape[0]
+    out_dtype = jnp.result_type(x.dtype, w.dtype)
     if out_h % sy == 0 and out_w % sx == 0 and \
             all(y is not None and y.shape[2] == out_h // sy
                 and y.shape[3] == out_w // sx for r in rows for y in r):
@@ -137,7 +143,7 @@ def _transpose_conv_subpixel(x, w, stride, padding, groups):
         # [sy, sx, n, c, H/sy, W/sx] -> [n, c, H/sy, sy, W/sx, sx]
         stacked = jnp.transpose(stacked, (2, 3, 4, 0, 5, 1))
         return stacked.reshape(n, out_c, out_h, out_w)
-    out = jnp.zeros((n, out_c, out_h, out_w), rows[0][0].dtype)
+    out = jnp.zeros((n, out_c, out_h, out_w), out_dtype)
     for ry in range(sy):
         for rx in range(sx):
             y = rows[ry][rx]

@@ -19,12 +19,15 @@ from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
                    gain=None, slope=0.2, clamp=None, flip_filter=False,
                    impl='xla'):
-    """y = downsample(fd, clamp(lrelu(bias(upsample(fu, pad(x)))))).
+    """y = downsample(fd, clamp(lrelu(gain * upsample(fu, pad(x + b))))).
 
-    Args mirror the reference op (filtered_lrelu.py:56-108): `padding`
-    is w.r.t. the upsampled image, `gain` defaults to sqrt(2) scaled
-    into the upsample, `slope` the lrelu negative slope, `clamp` the
-    symmetric output clamp.
+    Exactly the reference's decomposition (_filtered_lrelu_ref,
+    filtered_lrelu.py:121-155): bias is applied BEFORE upsampling, the
+    user `padding` (w.r.t. the upsampled image) is the ONLY padding on
+    the up stage, and the down stage gets none — so
+    out_w = (in_w*up + px0+px1 - (fu_w-1) - (fd_w-1) + (down-1)) // down.
+    `gain` defaults to sqrt(2); `slope` is the lrelu negative slope;
+    `clamp` the symmetric output clamp.
     """
     assert x.ndim == 4
     fu_w, fu_h = _get_filter_size(fu)
@@ -32,23 +35,16 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     px0, px1, py0, py1 = _parse_padding(padding)
     if gain is None:
         gain = float(jnp.sqrt(2.0))
+    batch, channels, in_h, in_w = x.shape
+    out_w = (in_w * up + (px0 + px1) - (fu_w - 1) - (fd_w - 1)
+             + (down - 1)) // down
+    out_h = (in_h * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1)
+             + (down - 1)) // down
 
-    # Upsample: pad to center the filter footprint like upsample2d.
-    p_up = [
-        px0 + (fu_w + up - 1) // 2,
-        px1 + (fu_w - up) // 2,
-        py0 + (fu_h + up - 1) // 2,
-        py1 + (fu_h - up) // 2,
-    ]
-    x = upfirdn2d(x, fu, up=up, padding=p_up, gain=up ** 2,
-                  flip_filter=flip_filter, impl=impl)
-    x = bias_act(x, b, act='lrelu', alpha=slope, gain=gain, clamp=clamp)
-    p_down = [
-        (fd_w - down + 1) // 2,
-        (fd_w - down) // 2,
-        (fd_h - down + 1) // 2,
-        (fd_h - down) // 2,
-    ]
-    x = upfirdn2d(x, fd, down=down, padding=p_down, gain=1.0,
-                  flip_filter=flip_filter, impl=impl)
+    x = bias_act(x, b)  # bias only, before upsampling (ref :147)
+    x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
+                  gain=up ** 2, flip_filter=flip_filter, impl=impl)
+    x = bias_act(x, act='lrelu', alpha=slope, gain=gain, clamp=clamp)
+    x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter, impl=impl)
+    assert x.shape == (batch, channels, out_h, out_w)
     return x

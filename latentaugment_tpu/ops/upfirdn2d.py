@@ -456,12 +456,17 @@ def _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain):
 
 def _upfirdn2d_pallas_fwd(x, f, up, down, padding, flip_filter, gain):
     y = _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain)
-    return y, (f, x.shape, y.shape)
+    # x is saved ONLY for the filter cotangent; when f is not
+    # differentiated (every product path — filters are buffers) the df
+    # computation below is dead code XLA removes, and x's liveness does
+    # not extend into the backward pass.
+    return y, (f, x, y.shape)
 
 
 def _upfirdn2d_pallas_bwd(up, down, padding, flip_filter, gain, res, dy):
     """Backward-as-forward (parity: reference upfirdn2d.py:252-268)."""
-    f, x_shape, y_shape = res
+    f, x, y_shape = res
+    x_shape = x.shape
     upx, upy = _parse_scaling(up)
     downx, downy = _parse_scaling(down)
     padx0, padx1, pady0, pady1 = _parse_padding(padding)
@@ -476,7 +481,15 @@ def _upfirdn2d_pallas_bwd(up, down, padding, flip_filter, gain, res, dy):
     ]
     dx = _upfirdn2d_pallas_op(dy, f, (downx, downy), (upx, upy), p,
                               not flip_filter, gain)
-    return dx, None
+    # True filter cotangent via the autodiff of the XLA path (round-3
+    # review: returning None here silently zeroed grads w.r.t. f where
+    # impl='xla' returns the real gradient). Dead-code-eliminated
+    # whenever f is not differentiated — the product paths.
+    _, vjp_f = jax.vjp(
+        lambda ff: _upfirdn2d_xla(x, ff, up, down, padding, flip_filter,
+                                  gain), f)
+    df, = vjp_f(dy)
+    return dx, df
 
 
 _upfirdn2d_pallas_op.defvjp(_upfirdn2d_pallas_fwd, _upfirdn2d_pallas_bwd)

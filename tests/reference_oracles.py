@@ -54,6 +54,25 @@ def upfirdn2d_torch(x, f, up=1, down=1, padding=(0, 0, 0, 0), flip_filter=False,
     return x
 
 
+def filtered_lrelu_torch(x, fu=None, fd=None, b=None, up=1, down=1,
+                         padding=0, gain=float(np.sqrt(2.0)), slope=0.2,
+                         clamp=None, flip_filter=False):
+    """Restates the reference fallback _filtered_lrelu_ref
+    (filtered_lrelu.py:121-155): bias -> upfirdn2d(fu, up, user padding,
+    gain=up**2) -> lrelu(gain, clamp) -> upfirdn2d(fd, down, no padding)."""
+    if isinstance(padding, int):
+        padding = (padding, padding, padding, padding)
+    if len(padding) == 2:
+        padding = (padding[0], padding[0], padding[1], padding[1])
+    x = bias_act_torch(x, b)
+    x = upfirdn2d_torch(x, fu, up=up, padding=padding, gain=up ** 2,
+                        flip_filter=flip_filter)
+    x = bias_act_torch(x, act='lrelu', alpha=slope, gain=gain,
+                       clamp=-1.0 if clamp is None else clamp)
+    x = upfirdn2d_torch(x, fd, down=down, flip_filter=flip_filter)
+    return x
+
+
 def bias_act_torch(x, b=None, dim=1, act='linear', alpha=0.2, gain=1.0, clamp=-1.0):
     if b is not None:
         shape = [1] * x.ndim

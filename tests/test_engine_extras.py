@@ -49,19 +49,41 @@ def test_verbose_log_traces_and_snapshot(ws):
     assert "epoch_0" in data
 
 
-def test_filtered_lrelu_shapes_and_semantics():
+def test_filtered_lrelu_matches_reference_fallback():
+    """Numerical parity with the reference's _filtered_lrelu_ref
+    decomposition (filtered_lrelu.py:121-155), including its output-size
+    formula — bias BEFORE upsampling, user padding only on the up stage,
+    none on the down stage (round-3 review: the old impl centered the
+    filters itself and biased after upsampling)."""
+    import torch
+
+    from reference_oracles import filtered_lrelu_torch
     from latentaugment_tpu.ops import bias_act, filtered_lrelu, setup_filter
 
-    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8, 8).astype(np.float32))
-    f = setup_filter([1, 3, 3, 1], separable=False)
-    b = jnp.asarray(np.random.RandomState(1).randn(4).astype(np.float32))
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 4, 8, 8).astype(np.float32)
+    b = rs.randn(4).astype(np.float32)
+    taps = [1.0, 3.0, 3.0, 1.0]
+    f_j = setup_filter(taps, separable=False)
+    f_t = torch.outer(torch.tensor(taps), torch.tensor(taps))
+    f_t = f_t / f_t.sum()
 
-    y = filtered_lrelu(x, fu=f, fd=f, b=b, up=2, down=2)
-    assert y.shape == x.shape
+    for kw in [dict(up=2, down=2, padding=3),
+               dict(up=2, down=1, padding=(2, 1, 2, 1), clamp=0.5),
+               dict(up=1, down=2, padding=4, slope=0.1, gain=1.0)]:
+        y_j = filtered_lrelu(jnp.asarray(x), fu=f_j, fd=f_j,
+                             b=jnp.asarray(b), **kw)
+        y_t = filtered_lrelu_torch(torch.from_numpy(x), fu=f_t, fd=f_t,
+                                   b=torch.from_numpy(b), **kw)
+        assert y_j.shape == tuple(y_t.shape), kw
+        np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                                   rtol=1e-4, atol=1e-5)
 
     # With identity filters and up=down=1 it reduces to bias_act lrelu.
-    y1 = filtered_lrelu(x, fu=None, fd=None, b=b, up=1, down=1, clamp=256)
-    y2 = bias_act(x, b, act="lrelu", gain=np.sqrt(2.0), clamp=256)
+    y1 = filtered_lrelu(jnp.asarray(x), fu=None, fd=None, b=jnp.asarray(b),
+                        up=1, down=1, clamp=256)
+    y2 = bias_act(jnp.asarray(x), jnp.asarray(b), act="lrelu",
+                  gain=np.sqrt(2.0), clamp=256)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
                                atol=1e-5)
 

@@ -13,7 +13,8 @@ from latentaugment_tpu.ops import (
 from latentaugment_tpu.ops.conv2d_resample import _conv2d_wrapper
 
 from reference_oracles import (
-    bias_act_torch, conv2d_torch, to_np, upfirdn2d_torch,
+    bias_act_torch, conv2d_resample_torch, conv2d_torch, to_np,
+    upfirdn2d_torch,
 )
 
 RNG = np.random.RandomState(0)
@@ -131,6 +132,29 @@ def test_conv2d_wrapper_vs_torch(transpose, flip_weight, groups):
     np.testing.assert_allclose(np.asarray(out_j), to_np(out_t), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("wshape,kw", [
+    ((3, 2, 1, 1), dict(up=2, down=2)),   # 1x1 kernel through the transpose path
+    ((3, 2, 3, 3), dict(up=4)),           # kernel smaller than stride (k=3 < s=4)
+    ((3, 2, 2, 2), dict(up=4)),           # k=2 < s=4
+    ((3, 2, 1, 1), dict(up=3)),           # 1x1, odd stride
+])
+def test_conv2d_resample_subpixel_edge_kernels(wshape, kw):
+    """Sub-pixel transposed-conv decomposition with empty parity classes:
+    when the kernel is smaller than the stride, some parity sub-kernels
+    have zero taps and must contribute zeros (round-3 review: these
+    crashed with a zero-size conv window before)."""
+    x = rand(2, 2, 8, 8)
+    w = rand(*wshape)
+    f = setup_filter([1, 3, 3, 1], separable=False)
+    got = conv2d_resample(jnp.asarray(x), jnp.asarray(w), f=f, **kw)
+    ref = conv2d_resample_torch(
+        torch.from_numpy(x), torch.from_numpy(w),
+        torch.outer(torch.tensor([1., 3., 3., 1.]),
+                    torch.tensor([1., 3., 3., 1.])) / 64.0, **kw)
+    np.testing.assert_allclose(np.asarray(got), to_np(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("up,down,kh", [(1, 1, 3), (2, 1, 3), (1, 2, 3),
                                         (2, 1, 1), (1, 2, 1), (1, 1, 1)])
 def test_conv2d_resample_against_composition(up, down, kh):
@@ -233,6 +257,26 @@ def test_upfirdn2d_pallas_gradient():
 
     gp = jax.grad(loss_p)(x)
     gx = jax.grad(loss_x)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 2), (1, 1)])
+def test_upfirdn2d_pallas_filter_gradient(up, down):
+    """Grads w.r.t. the FILTER must match across impls (round-3 review:
+    the pallas VJP silently returned zero filter cotangents before)."""
+    import jax
+
+    x = jnp.asarray(rand(2, 3, 8, 8))
+    f = setup_filter([1, 3, 3, 1], separable=True)
+
+    def loss(ff, impl):
+        return jnp.sum(jnp.sin(upfirdn2d(x, ff, up=up, down=down,
+                                         padding=1, impl=impl)))
+
+    gp = jax.grad(lambda ff: loss(ff, "pallas"))(f)
+    gx = jax.grad(lambda ff: loss(ff, "xla"))(f)
+    assert float(jnp.abs(gx).max()) > 1e-3  # the comparison is non-trivial
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4,
                                atol=1e-5)
 
