@@ -134,8 +134,14 @@ def get_feature_detector(url, device=None, num_gpus=1, rank=0, verbose=False):
         params = None
         if ckpt is not None:
             try:
-                params = vgg.load_params(ckpt)
-            except (OSError, pickle.UnpicklingError, ValueError) as e:
+                # Detector use needs the classifier head (fc6/fc7) on top
+                # of the conv trunk; an LPIPS-only conversion (convs +
+                # 'lin') would otherwise "load fine" and crash minutes
+                # into feature extraction (round-3 review).
+                params = vgg.load_params(ckpt, require=("conv1_1", "fc6",
+                                                        "fc7"))
+            except (OSError, pickle.UnpicklingError, ValueError,
+                    KeyError) as e:
                 print(f"[metrics] WARNING: cached VGG detector {ckpt} failed "
                       f"to load ({e}); falling back to seeded RANDOM weights "
                       "— metric values will be self-consistent but NOT "
@@ -279,11 +285,14 @@ def _to_detector_batch(x, mode_idx):
     return x
 
 
-def _cache_lookup(opts, kind_kwargs, dataset_name, detector_url, stats_kwargs):
+def _cache_lookup(opts, kind_kwargs, dataset_name, detector_url, stats_kwargs,
+                  max_items=None):
     if not opts.cache:
         return None, None
+    # max_items is part of the key: stats over 1k reals must not be
+    # silently reused for a 50k request (round-3 review).
     args = dict(dataset_kwargs=kind_kwargs, detector_url=detector_url,
-                stats_kwargs=stats_kwargs)
+                stats_kwargs=stats_kwargs, max_items=max_items)
     md5 = hashlib.md5(repr(sorted(args.items())).encode("utf-8"))
     mode_name = opts.mode_dict["mode_name"] if opts.mode_dict else "all"
     tag = f"{dataset_name}-{mode_name}-{get_feature_detector_name(detector_url)}-{md5.hexdigest()}"
@@ -321,7 +330,7 @@ def compute_feature_stats_for_dataset(opts, detector_url, detector_kwargs=None,
     dataset_name = os.path.splitext(os.path.basename(dk["path"]))[0]
 
     cached, cache_file = _cache_lookup(opts, dk, dataset_name, detector_url,
-                                       stats_kwargs)
+                                       stats_kwargs, max_items=max_items)
     if cached is not None:
         return cached
 
@@ -368,14 +377,25 @@ def compute_feature_stats_for_aug_dataset(opts, detector_url, detector_kwargs=No
     dataset_name = dkg.get("aug_name", os.path.basename(datadir))
 
     cached, cache_file = _cache_lookup(opts, dkg, dataset_name, detector_url,
-                                       stats_kwargs)
+                                       stats_kwargs, max_items=max_items)
     if cached is not None:
         return cached
 
     img_dir = os.path.join(datadir, "img_aug")
     fnames = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir)
                     if not f.startswith("."))
-    num_items = len(fnames) * int(dkg.get("batch_size", 1))
+    if "batch_size" in dkg:
+        per_file = int(dkg["batch_size"])
+    elif fnames:
+        # Each dump pickle holds a full batch; derive the per-file count
+        # from the first one instead of defaulting to 1, which would
+        # silently cap the stats at one sample per file (round-3 review).
+        with open(fnames[0], "rb") as f:
+            first = pickle.load(f)
+        per_file = int(np.asarray(first["A"]).shape[0])
+    else:
+        per_file = 1
+    num_items = len(fnames) * per_file
     if max_items is not None:
         num_items = min(num_items, max_items)
 

@@ -14,6 +14,7 @@ Inputs are [N, 3, H, W] in [0, 255]; they are bilinearly resized to
 """
 
 import pickle
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -88,8 +89,12 @@ def _avgpool(x, k=3, s=1, p=1):
 # Blocks (init + apply); names match torchvision state-dict keys.
 
 def _fold(key, *tags):
+    # zlib.crc32, NOT hash(): str hash is salted per interpreter process,
+    # which would give the seeded fallback detector different weights in
+    # every run — silently corrupting FID/PR against the persisted
+    # feature-stats cache (round-3 review).
     for t in tags:
-        key = jax.random.fold_in(key, hash(t) % (2 ** 31))
+        key = jax.random.fold_in(key, zlib.crc32(t.encode()) % (2 ** 31))
     return key
 
 
@@ -326,9 +331,22 @@ def convert_torchvision_state(state_dict, out_path=None, strict=False):
 def get_inception(path=None, seed=0):
     if path is not None:
         try:
-            with open(path, "rb") as f:
-                obj = pickle.load(f)
+            # Restricted unpickler: the URL cache this reads from is also
+            # where a raw NVIDIA inception-2015-12-05.pkl would land —
+            # stock pickle.load would execute its embedded source
+            # (round-3 review). Validate the converted-tree structure so
+            # a payload-stub load falls back instead of crashing later.
+            from .stylegan2.convert import load_network_pickle
+
+            obj = load_network_pickle(path)
+            if not isinstance(obj, dict) or "Conv2d_1a_3x3" not in obj:
+                raise ValueError(
+                    "not a converted inception param tree "
+                    "(raw NVIDIA pickle instead of converted weights?)")
+            leaves = jax.tree_util.tree_leaves(obj)
+            if not leaves or not all(hasattr(a, "shape") for a in leaves):
+                raise ValueError("param tree contains non-array leaves")
             return jax.tree_util.tree_map(jnp.asarray, obj)
-        except (OSError, pickle.UnpicklingError) as e:
+        except (OSError, pickle.UnpicklingError, ValueError, KeyError) as e:
             print(f"[inception] could not load {path} ({e}); using seeded init")
     return init_inception(seed=seed)

@@ -37,7 +37,7 @@ def pix2pix_config(in_channels=1, out_channels=1, base_channels=32,
 def _conv_init(key, in_ch, out_ch, k):
     kw, kb = jax.random.split(key)
     w = jax.random.normal(kw, (out_ch, in_ch, k, k), jnp.float32) \
-        * (0.02 if k > 1 else 0.02)
+        * 0.02
     return {"w": w, "b": jnp.zeros((out_ch,), jnp.float32)}
 
 

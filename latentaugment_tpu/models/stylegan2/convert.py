@@ -20,6 +20,7 @@ Also understands plain state-dict pickles and our own checkpoints
 export from torch once and stay native afterwards.
 """
 
+import functools
 import io
 import pickle
 
@@ -52,6 +53,7 @@ def _safe_load_from_bytes(b):
         return torch.storage._load_from_bytes(b)
 
 
+@functools.lru_cache(maxsize=1)
 def _allowed_globals():
     """Exact-name allowlist of reconstruction callables.
 

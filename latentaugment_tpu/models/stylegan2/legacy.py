@@ -126,6 +126,19 @@ def convert_tf_generator(tf_G):
     for i in range(cfg.num_mapping_layers):
         mapping[f"fc{i}"] = {"weight": _dense(p[f"mapping/Dense{i}/weight"]),
                              "bias": np.asarray(p[f"mapping/Dense{i}/bias"], np.float32)}
+    if cfg.c_dim > 0:
+        # Conditional TF generator: LabelEmbed -> mapping embed (reference
+        # legacy.py:173-174). Round-3 review: previously c_dim>0 configs
+        # were emitted with no embed params, crashing at first apply.
+        if "mapping/LabelEmbed/weight" not in p:
+            raise ValueError(
+                "conditional TF generator (label_size > 0) has no "
+                "mapping/LabelEmbed variables — unsupported pickle layout")
+        embed_w = _dense(p["mapping/LabelEmbed/weight"])
+        mapping["embed"] = {
+            "weight": embed_w,
+            "bias": np.asarray(p["mapping/LabelEmbed/bias"], np.float32)}
+        cfg.embed_features = int(embed_w.shape[0])
 
     def conv_layer(prefix, noise_idx, up=False):
         return {
@@ -185,6 +198,8 @@ def convert_tf_discriminator(tf_D):
         conv_clamp=kw.get("conv_clamp", None),
         mbstd_group_size=kw.get("mbstd_group_size", 4) or 4,
         mbstd_num_channels=kw.get("mbstd_num_features", 1),
+        cmap_dim=kw.get("mapping_fmaps", None),
+        mapping_lr_multiplier=kw.get("mapping_lrmul", 0.1),
     )
     p = _collect_tf_params(tf_D)
 
@@ -214,6 +229,39 @@ def convert_tf_discriminator(tf_D):
         "out": {"weight": _dense(p["Output/weight"]),
                 "bias": np.asarray(p["Output/bias"], np.float32)},
     }
+    if cfg.c_dim > 0:
+        # Conditional TF discriminator: LabelEmbed + Mapping{i} -> the
+        # projection head's label-mapping subtree (reference
+        # legacy.py:277-280). Round-3 review: previously c_dim>0 configs
+        # were emitted with no 'mapping' subtree and a shape-wrong 'out',
+        # crashing (or silently mis-projecting) at first apply.
+        if "LabelEmbed/weight" not in p:
+            raise ValueError(
+                "conditional TF discriminator (label_size > 0) has no "
+                "LabelEmbed variables — pre-projection conditional layouts "
+                "(per-label Output columns) are unsupported")
+        embed_w = _dense(p["LabelEmbed/weight"])
+        cmap = {"embed": {
+            "weight": embed_w,
+            "bias": np.asarray(p["LabelEmbed/bias"], np.float32)}}
+        n_map = 0
+        while f"Mapping{n_map}/weight" in p:
+            cmap[f"fc{n_map}"] = {
+                "weight": _dense(p[f"Mapping{n_map}/weight"]),
+                "bias": np.asarray(p[f"Mapping{n_map}/bias"], np.float32)}
+            n_map += 1
+        cfg.num_mapping_layers = n_map
+        tree["mapping"] = cmap
+        if n_map == 0 and int(embed_w.shape[0]) != cfg.cmap_dim:
+            raise ValueError(
+                f"conditional TF discriminator LabelEmbed width "
+                f"{int(embed_w.shape[0])} != cmap_dim {cfg.cmap_dim} "
+                "with no Mapping layers — projection shapes inconsistent")
+        out_dim = int(tree["b4"]["out"]["weight"].shape[0])
+        if out_dim != cfg.cmap_dim:
+            raise ValueError(
+                f"conditional TF discriminator Output width {out_dim} != "
+                f"cmap_dim {cfg.cmap_dim} — not a projection head")
     from ...ops import setup_filter
 
     tree["resample_filter"] = np.asarray(

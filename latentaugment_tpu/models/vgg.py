@@ -204,10 +204,27 @@ def detector_features(params, x, input_range="0_255"):
 # ----------------------------------------------------------------------------
 # Weight IO
 
-def load_params(path):
-    """Load a converted VGG checkpoint (pickle of {name: {'weight','bias'}})."""
-    with open(path, "rb") as f:
-        obj = pickle.load(f)
+def load_params(path, require=()):
+    """Load a converted VGG checkpoint (pickle of {name: {'weight','bias'}}).
+
+    Loads through the restricted unpickler (the URL-cache path this reads
+    from is where RAW NVIDIA pickles land too — stock pickle.load would
+    execute their embedded source; round-3 review) and validates the
+    result is a plain array tree containing the `require`d top-level keys,
+    raising ValueError otherwise so callers can fall back loudly."""
+    from .stylegan2.convert import load_network_pickle
+
+    obj = load_network_pickle(path)
+    if not isinstance(obj, dict):
+        raise ValueError(f"not a param dict: {type(obj).__name__}")
+    missing = [k for k in require if k not in obj]
+    if missing:
+        raise ValueError(f"param tree lacks required keys {missing} "
+                         "(wrong converter output for this use?)")
+    leaves = jax.tree_util.tree_leaves(obj)
+    if not leaves or not all(hasattr(a, "shape") for a in leaves):
+        raise ValueError("param tree contains non-array leaves "
+                         "(raw NVIDIA pickle instead of converted weights?)")
     return jax.tree_util.tree_map(jnp.asarray, obj)
 
 
@@ -257,7 +274,8 @@ def get_vgg16(path=None, seed=0):
     deterministic random init otherwise (self-consistent fallback)."""
     if path is not None:
         try:
-            return load_params(path)
-        except (OSError, pickle.UnpicklingError) as e:
+            # LPIPS use needs the conv trunk; fc6/fc7 are detector-only.
+            return load_params(path, require=("conv1_1", "conv5_3"))
+        except (OSError, pickle.UnpicklingError, ValueError, KeyError) as e:
             print(f"[vgg] could not load {path} ({e}); using seeded random init")
     return init_vgg(jax.random.PRNGKey(seed), VGG16_PLAN)

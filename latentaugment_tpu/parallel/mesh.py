@@ -29,7 +29,7 @@ def get_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices), ("data",))
 
 
-def batch_sharding(mesh, ndim=None):
+def batch_sharding(mesh):
     """Shard the leading (batch) axis over 'data'; replicate the rest."""
     return NamedSharding(mesh, P("data"))
 

@@ -116,6 +116,60 @@ def test_legacy_tf_generator_conversion():
     assert bool(jnp.all(jnp.isfinite(img)))
 
 
+def test_legacy_tf_conditional_generator_conversion():
+    """Conditional TF pickles (label_size > 0) must convert LabelEmbed into
+    the mapping embed (reference legacy.py:173-174) and produce a tree the
+    conditional mapping can actually apply (round-3 review: previously the
+    embed was silently dropped and apply crashed on params['embed'])."""
+    from latentaugment_tpu.models.stylegan2 import legacy, networks
+
+    res, ch, w_dim, nmap, c_dim = 32, 64, 32, 2, 3
+    v, comp_map, comp_syn = _tf_var_list_G(res=res, ch=ch, w_dim=w_dim,
+                                           nmap=nmap)
+    # Widen Dense0 input to z + embed and add the label embed variables.
+    comp_map = [(n, val) for n, val in comp_map if not n.startswith("Dense0/")]
+    comp_map += [
+        ("Dense0/weight", RNG.randn(2 * w_dim, w_dim).astype(np.float32)),
+        ("Dense0/bias", RNG.randn(w_dim).astype(np.float32)),
+        ("LabelEmbed/weight", RNG.randn(c_dim, w_dim).astype(np.float32)),
+        ("LabelEmbed/bias", RNG.randn(w_dim).astype(np.float32)),
+    ]
+    tf_G = legacy.TFNetworkStub(
+        version=4,
+        static_kwargs=dict(latent_size=w_dim, dlatent_size=w_dim,
+                           resolution=res, num_channels=2, label_size=c_dim,
+                           fmap_base=ch * res // 2, fmap_max=ch,
+                           mapping_layers=nmap, conv_clamp=256),
+        variables=v,
+        components={
+            "mapping": legacy.TFNetworkStub(variables=comp_map, components={}),
+            "synthesis": legacy.TFNetworkStub(variables=comp_syn, components={}),
+        },
+    )
+    params, cfg = legacy.convert_tf_generator(tf_G)
+    assert cfg.c_dim == c_dim and cfg.embed_features == w_dim
+    assert "embed" in params["mapping"]
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    z = jnp.asarray(RNG.randn(2, w_dim).astype(np.float32))
+    c = jnp.asarray(np.eye(c_dim, dtype=np.float32)[[0, 2]])
+    img = networks.generator_apply(params, cfg, z, c=c)
+    assert img.shape == (2, 2, res, res)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+    # A conditional pickle WITHOUT the embed vars must fail loudly.
+    tf_bad = legacy.TFNetworkStub(
+        version=4, static_kwargs=tf_G.static_kwargs, variables=v,
+        components={
+            "mapping": legacy.TFNetworkStub(
+                variables=[(n, val) for n, val in comp_map
+                           if "LabelEmbed" not in n], components={}),
+            "synthesis": legacy.TFNetworkStub(variables=comp_syn,
+                                              components={}),
+        })
+    with pytest.raises(ValueError, match="LabelEmbed"):
+        legacy.convert_tf_generator(tf_bad)
+
+
 # ----------------------------------------------------------------------------
 # Data tools
 
