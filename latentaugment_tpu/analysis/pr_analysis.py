@@ -32,8 +32,10 @@ def load_metric_jsonl(run_dir, prefix="metric-"):
             if not text_rest:
                 break
             idx = len(text) - len(text_rest)
-            obj, consumed = decoder.raw_decode(text, idx)
-            idx += consumed
+            # raw_decode returns the ABSOLUTE end index, not a consumed
+            # count — `idx +=` double-counted and dropped records
+            # (round-3 review).
+            obj, idx = decoder.raw_decode(text, idx)
             if isinstance(obj, dict) and "metric" in obj:
                 rows.append(obj)
             elif isinstance(obj, dict):

@@ -21,7 +21,12 @@ def parse_experiment_name(name):
     for key in ("n_imgs", "opt_lr", "opt_num_epochs", "w_latent", "w_pix",
                 "w_lpips", "w_disc", "p_thres", "truncation_psi",
                 "horizontal_flip", "affine", "elastic_deform"):
-        m = re.search(rf"{key}_([-0-9.eA-Za-z]+?)(?:-|$)", name)
+        # A '-' is part of the value only in scientific notation (right
+        # after e/E, e.g. str(3e-05) == '3e-05'); any other '-' separates
+        # the next key. The old non-greedy stop at any '-' truncated
+        # opt_lr_3e-05 to '3e' (round-3 review).
+        m = re.search(rf"{key}_((?:[0-9.A-Za-z]|(?<=[0-9][eE])-(?=[0-9]))+)",
+                      name)
         if m:
             out[key] = m.group(1)
     return out

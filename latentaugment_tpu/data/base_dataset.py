@@ -138,7 +138,12 @@ def get_transform(opt, params=None, grayscale=False, method=Image.BICUBIC, conve
     if opt.preprocess == 'none':
         steps.append(lambda img: _make_power_2(img, base=4, method=method))
 
-    if not getattr(opt, 'no_flip', True):
+    # Default no_flip=False (flip ON), the pix2pix convention the
+    # reference's `if not opt.no_flip` assumes (base_dataset.py:100 —
+    # its own options never define the flag; the downstream trainer's
+    # do). Round-3 review: defaulting True made the reference's default
+    # train-time flip unreachable from this repo's options.
+    if not getattr(opt, 'no_flip', False):
         if params is None:
             steps.append(lambda img: _flip(img, random.random() > 0.5))
         elif params['flip']:

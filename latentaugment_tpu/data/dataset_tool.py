@@ -390,11 +390,23 @@ def resize_nifti_folder(source, dest, image_shape=(256, 256),
     args = [(f, dest, tuple(image_shape), interpolation) for f in folders]
     try:
         from multiprocessing import Pool
-
-        with Pool(processes=processes) as pool:
-            done = pool.map(_resize_one, args)
-    except Exception:
-        done = [_resize_one(a) for a in args]
+    except ImportError:
+        pool_cls = None
+    else:
+        pool_cls = Pool
+    if pool_cls is not None:
+        try:
+            with pool_cls(processes=processes) as pool:
+                done = pool.map(_resize_one, args)
+            print(f"resized {len(done)} patients -> {dest}")
+            return done
+        except (OSError, PermissionError) as e:
+            # Pool SETUP failures (sandboxes without fork/sem support)
+            # fall back to serial; worker exceptions propagate — a blanket
+            # retry re-ran the whole dataset serially just to rediscover
+            # the same per-volume error (round-3 review).
+            print(f"[dataset_tool] Pool unavailable ({e}); resizing serially")
+    done = [_resize_one(a) for a in args]
     print(f"resized {len(done)} patients -> {dest}")
     return done
 
@@ -674,13 +686,21 @@ def process_tiff(source, source_interim, source_box, dest, dataset,
 
     dataset_attrs = None
     n_written = 0
+    next_slice_id = {}  # per-patient fallback counter for unnumbered stems
     for rel in rels:
         rel = rel.replace("\\", "/")
         id_patient = rel.split("/")[0]
         stem = util_path.get_filename_without_extension(rel)
         # Trailing integer in the stem is the slice id (ref formats
-        # `<id_patient>_<int(id_slice):05d>`).
-        id_slice = int(stem.split("_")[-1]) if stem.split("_")[-1].isdigit() else 0
+        # `<id_patient>_<int(id_slice):05d>`). Stems without one get a
+        # per-patient running index — a constant 0 made every such slice
+        # of a patient overwrite the same pickle (round-3 review).
+        if stem.split("_")[-1].isdigit():
+            id_slice = int(stem.split("_")[-1])
+        else:
+            id_slice = next_slice_id.get(id_patient, 0)
+        next_slice_id[id_patient] = max(next_slice_id.get(id_patient, 0),
+                                        id_slice + 1)
 
         out_path = os.path.join(temp, id_patient,
                                 f"{id_patient}_{id_slice:05d}.pickle")

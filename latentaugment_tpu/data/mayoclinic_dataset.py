@@ -59,7 +59,8 @@ class MayoClinicDataset(BaseDataset):
         parser.add_argument('--lower', help="Lower value for hu clip.", type=int, default=-1000)
         parser.add_argument('--upper', help="Upper value for hu clip.", type=int, default=2000)
         parser.add_argument('--img_shape', help="Image shape for resize.", type=int, default=256)
-        parser.add_argument('--plot_verbose', help="Plot images.", type=bool, default=False)
+        from ..options.base_options import str2bool
+        parser.add_argument('--plot_verbose', help="Plot images.", type=str2bool, default=False)
         parser.add_argument('--model_name', help="Model to use for training.", default='pix2pix')
         return parser
 

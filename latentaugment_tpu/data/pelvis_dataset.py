@@ -48,9 +48,15 @@ class PelvisDataset(BaseDataset):
         else:
             raise IOError("Path must point to a zip")
 
+        # Select by the LEADING split component. The reference's
+        # substring test (`opt.phase in fname`, pelvis_dataset.py:74)
+        # selects identically on its zip layout (<split>/<patient>/...)
+        # but cross-contaminates splits when a patient name contains a
+        # phase word (round-3 review); the component match is exact.
         self.AB_paths = sorted(
             fname for fname in self._all_fnames
-            if self._file_ext(fname) == ".pickle" and opt.phase in fname)
+            if self._file_ext(fname) == ".pickle"
+            and fname.replace("\\", "/").split("/")[0] == opt.phase)
         if len(self.AB_paths) == 0:
             raise IOError("No image files found in the specified path")
 

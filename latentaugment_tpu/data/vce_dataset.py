@@ -197,8 +197,9 @@ class VCEDataset(BaseDataset):
         parser.add_argument('--annotations_csv', help="CSV with rows "
                             "[img_x, img_y, r_l, wc_x, ww_x, wc_y, ww_y].",
                             type=str, default="")
+        from ..options.base_options import str2bool
         parser.add_argument('--do_augmentation', help="CPU augmentation.",
-                            type=bool, default=False)
+                            type=str2bool, default=False)
         return parser
 
     def __init__(self, opt):

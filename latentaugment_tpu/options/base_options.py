@@ -16,6 +16,21 @@ import os
 from ..utils import util_logger, util_path
 
 
+def str2bool(v):
+    """argparse type for boolean flags: '--flag False' must be False.
+
+    Plain `type=bool` maps any non-empty string (including 'False') to
+    True (round-3 review; the reference shares the footgun at
+    mayoclinic_dataset.py:65)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 class BaseOptions:
     """Defines options used during both training and test time."""
 

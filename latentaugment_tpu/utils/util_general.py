@@ -160,8 +160,12 @@ def parse_vec2(s):
 def create_run_dir_local(run_dir_root, module="run"):
     """Create the next 5-digit-id run dir (parity: util_general.py:228-245)."""
     os.makedirs(run_dir_root, exist_ok=True)
+    # Name as '<id:05d>--<module>' so define_source_path can resolve runs
+    # this function created (round-3 review: the reference's bare-id
+    # naming is incompatible with its own '--'-keyed source resolution —
+    # its id--module dirs come from an external tool).
     run_id = get_next_run_id_local(run_dir_root, module)
-    run_dir = os.path.join(run_dir_root, f"{run_id:05d}")
+    run_dir = os.path.join(run_dir_root, f"{run_id:05d}--{module}")
     if os.path.exists(run_dir):
         raise RuntimeError(f"The run dir already exists! ({run_dir})")
     os.makedirs(run_dir)
@@ -225,7 +229,7 @@ class iid_class:
             else iid_label
 
     def idx_to_idx_iid_class(self, idx):
-        assert idx <= len(self.iid_label)
+        assert idx < len(self.iid_label)
         return self.iid_label[idx]
 
 

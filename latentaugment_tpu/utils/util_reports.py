@@ -169,7 +169,9 @@ def image_grid(images, n_cols=8, save_path=None, title=""):
     n_rows = (n + n_cols - 1) // n_cols
     fig, axes = plt.subplots(n_rows, n_cols,
                              figsize=(1.5 * n_cols, 1.5 * n_rows))
-    axes = np.atleast_2d(axes)
+    # reshape, not atleast_2d: subplots(n, 1) returns shape (n,) which
+    # atleast_2d turns into (1, n) — transposed indexing (round-3 review).
+    axes = np.asarray(axes).reshape(n_rows, n_cols)
     for i in range(n_rows * n_cols):
         ax = axes[i // n_cols, i % n_cols]
         ax.axis("off")

@@ -413,9 +413,31 @@ def test_pr_analysis_jsonl(tmp_path):
     rec = {"exp1": [{"metric": "pr50k3_full", "mode": "A",
                      "value": {"pr50k3_full_precision": 0.8,
                                "pr50k3_full_recall": 0.6}}]}
+    rec2 = {"exp2": [{"metric": "pr50k3_full", "mode": "B",
+                      "value": {"pr50k3_full_precision": 0.7,
+                                "pr50k3_full_recall": 0.5}}]}
+    # Two concatenated pretty-printed objects in one file: regression for
+    # the raw_decode index bug that dropped every record after the first.
     with open(tmp_path / "metric-exp1.jsonl", "w") as f:
         f.write(json.dumps(rec, indent=3) + "\n")
+        f.write(json.dumps(rec2, indent=3) + "\n")
     df = load_metric_jsonl(str(tmp_path))
-    assert len(df) == 1
+    assert len(df) == 2
     out = precision_recall_scatter(df, str(tmp_path / "pr.png"))
     assert os.path.isfile(out)
+
+
+def test_parse_experiment_name_scientific():
+    """'-' inside sci-notation values stays in the value; '-' elsewhere
+    separates keys (regression: opt_lr_3e-05 truncated to '3e')."""
+    from latentaugment_tpu.analysis.sg2_metrics_analysis import (
+        parse_experiment_name)
+
+    name = ("00001-n_imgs_4096-opt_lr_3e-05-w_pix_0.1-w_lpips_1.0"
+            "-horizontal_flip_True")
+    out = parse_experiment_name(name)
+    assert out["opt_lr"] == "3e-05"
+    assert out["n_imgs"] == "4096"
+    assert out["w_pix"] == "0.1"
+    assert out["w_lpips"] == "1.0"
+    assert out["horizontal_flip"] == "True"

@@ -106,3 +106,54 @@ def test_base_dataset_transforms():
     out = tf(img)
     assert out.shape == (1, 16, 16)
     assert -1.0 <= out.min() and out.max() <= 1.0
+
+
+def test_base_dataset_flip_default_on():
+    """Without a no_flip attr the pix2pix default is flip ENABLED
+    (regression: getattr default True made flips unreachable)."""
+    from latentaugment_tpu.data.base_dataset import get_transform
+
+    opt = _opt(preprocess="none", load_size=16, crop_size=16)
+    img = np.arange(16 * 16, dtype=np.float32).reshape(16, 16)
+    out = get_transform(opt, params={"crop_pos": (0, 0), "flip": True},
+                        convert=False)(img)
+    np.testing.assert_array_equal(np.asarray(out), img[:, ::-1])
+
+
+def test_str2bool():
+    import pytest as _pytest
+
+    from latentaugment_tpu.options.base_options import str2bool
+
+    assert str2bool("False") is False and str2bool("0") is False
+    assert str2bool("True") is True and str2bool("yes") is True
+    assert str2bool(True) is True
+    import argparse
+    with _pytest.raises(argparse.ArgumentTypeError):
+        str2bool("maybe")
+
+
+def test_pelvis_split_component_match(tmp_path):
+    """Phase selects by leading path component: a val patient whose name
+    contains 'train' must not leak into the train split (regression:
+    substring phase match)."""
+    import pickle
+    import zipfile
+
+    from latentaugment_tpu.data.pelvis_dataset import PelvisDataset
+
+    sl = {"MR_nonrigid_CT": (RNG.rand(8, 8) * 255).astype(np.float32),
+          "MR_MR_T2": (RNG.rand(8, 8) * 255).astype(np.float32)}
+    zp = tmp_path / "pelvis.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("train/patient001/patient001_00000.pickle",
+                    pickle.dumps(sl))
+        zf.writestr("val/trainor002/trainor002_00000.pickle",
+                    pickle.dumps(sl))
+
+    opt = _opt(dataroot=str(zp), modalities="MR_nonrigid_CT,MR_MR_T2",
+               phase="train", load_size=8)
+    ds = PelvisDataset(opt)
+    assert [p.split("/")[0] for p in ds.AB_paths] == ["train"]
+    item = ds[0]
+    assert item["A"].shape == (1, 8, 8)

@@ -49,12 +49,15 @@ def test_label_maps():
 
 def test_run_dirs_and_files(tmp_path):
     root = str(tmp_path / "runs")
+    # Created runs resolve through define_source_path without renaming
+    # (round-3 review: bare-id names were unresolvable by the
+    # '--'-keyed source lookup).
     d1 = ug.create_run_dir_local(root, "mod")
-    assert os.path.basename(d1) == "00000"
+    assert os.path.basename(d1) == "00000--mod"
     os.rename(d1, os.path.join(root, "00007--mod"))
     open(os.path.join(root, "00007--mod", "params.txt"), "w").write("p")
     d2 = ug.create_run_dir_local(root, "mod")
-    assert os.path.basename(d2) == "00008"
+    assert os.path.basename(d2) == "00008--mod"
 
     assert ug.isempty(d2)
     f = os.path.join(d2, "a.txt")
