@@ -67,13 +67,16 @@ def main():
             augment.forward()
 
             data_aug = augment.get_output()
-            data_w = augment.get_latent_input()
-            data_w_aug = augment.get_latent_output()
-
             util_io.write_pickle(data, os.path.join(outdir, 'img', f'img_{i}'))
-            util_io.write_pickle(data_w, os.path.join(outdir, 'latent', f'w_{i}'))
             util_io.write_pickle(data_aug, os.path.join(outdir, 'img_aug', f'img_aug_{i}'))
-            util_io.write_pickle(data_w_aug, os.path.join(outdir, 'latent_aug', f'w_aug_{i}'))
+            # Latents exist only for batches the p_thres gate augmented;
+            # the reference dumps the PREVIOUS batch's (stale) latents
+            # here (backbone_latentaug.py:107-119).
+            if getattr(augment, 'augmented', False):
+                data_w = augment.get_latent_input()
+                data_w_aug = augment.get_latent_output()
+                util_io.write_pickle(data_w, os.path.join(outdir, 'latent', f'w_{i}'))
+                util_io.write_pickle(data_w_aug, os.path.join(outdir, 'latent_aug', f'w_aug_{i}'))
 
         stats_time = augment.stats_time[1:]
         print(np.mean(stats_time))

@@ -285,10 +285,12 @@ class LatentAugEngine:
         # random module; a private seeded stream keeps runs reproducible).
         import random as _random
 
-        self._crop_rng = _random.Random(getattr(opt, "seed", 42) + 1)
+        self._seed = getattr(opt, "seed", 42)
+        self._crop_rng = _random.Random(self._seed + 1)
         # Separate stream for manifold-build crops so a stat-cache hit
         # (which skips extraction) doesn't desync the forward crop stream.
-        self._manifold_rng = _random.Random(getattr(opt, "seed", 42) + 2)
+        # (compute_stats additionally re-seeds per call — see there.)
+        self._manifold_rng = _random.Random(self._seed + 2)
         # Seeded device-key stream for forward()/forward_ganrand() default
         # keys. Round-1 seeded them from wall clock, so any caller that
         # didn't pass `key` silently got nondeterminism (VERDICT weak #6).
@@ -335,9 +337,16 @@ class LatentAugEngine:
         self.X_cc_summaries = None
         self.fea_summaries = None
 
+        # Cache tags carry the source dataset/split identity. The
+        # reference keys only on (manifold, step, num_items)
+        # (util_latent_aug.py:517-526), so a different inversion
+        # experiment or split with the same item count silently reused a
+        # stale manifold cache.
         if self.w_latent > 0.0:
-            stats = self.compute_stats(self.stats_dataset_w, "latent", cache_dir,
-                                       step=opt.step_w)
+            stats = self.compute_stats(
+                self.stats_dataset_w, "latent", cache_dir,
+                cache_tag=f"{self.dataset_w_name}-{self.phase}",
+                step=opt.step_w)
             # Keep the raw manifold host-side; only its summary lives on
             # device (the walk needs nothing else — losses.py).
             self.W = stats.get_all()
@@ -351,8 +360,10 @@ class LatentAugEngine:
                 modalities=self.modalities, split=self.phase, resolution=self.res)
 
         if self.w_pix > 0.0:
-            stats = self.compute_stats(img_dataset, "img", cache_dir,
-                                       step=opt.step_img)
+            stats = self.compute_stats(
+                img_dataset, "img", cache_dir,
+                cache_tag=f"{self.dataset_name}-{self.phase}",
+                step=opt.step_img)
             self.X = stats.get_all()  # [M, modes, res, res] in [-1, 1], host
             x_cc = manifold.center_crop(jnp.asarray(self.X), self.res)
             self.X_cc_summaries = [
@@ -365,7 +376,9 @@ class LatentAugEngine:
             for mode_id, mode in enumerate(self.modalities):
                 stats = self.compute_stats(
                     img_dataset, "features_jit", cache_dir,
-                    cache_tag=f"{mode}-{opt.crop_size_aug}-{self.lpips_variant}",
+                    cache_tag=(f"{self.dataset_name}-{self.phase}-{mode}"
+                               f"-{opt.crop_size_aug}-{self.preprocess}"
+                               f"-{self.lpips_variant}"),
                     step=opt.step_img, mode_id=mode_id)
                 fea = stats.get_all_jnp()  # [M, D]
                 self.fea_summaries.append(losses.manifold_summary(fea))
@@ -604,6 +617,10 @@ class LatentAugEngine:
                                        for k, v in time_d.items())
             print(f"epoch {epoch + 1:>4d}/{self.num_epochs}, {desc}")
             if w0.shape[0] == 1 and fname:
+                # Deliberate reference parity (util_latent_aug.py:292-295):
+                # snap_w saves the POST-step w (torch's in-place optimizer
+                # leaf) while snap_img saves the image synthesized from the
+                # PRE-step w, so frame e pairs w_{e+1} with img_e.
                 self.snap_w(carry[0], epoch, fname[0])
                 self.snap_img(x, epoch, fname[0])
         self.snapshot_stats(self.stats_loss, title="losses")
@@ -685,6 +702,13 @@ class LatentAugEngine:
             cache_tag += "-"
         cache_tag += f"{manifold_name}-step_{step}-maxitems_{num_items}"
         cache_file = os.path.join(cache_dir, cache_tag + ".pkl")
+        # Per-call crop stream seeded from (run seed, cache tag): each
+        # modality's crops are independent of which OTHER modalities hit
+        # their cache, so a partially-cached run rebuilds bit-identically
+        # to a clean one (a shared sequential stream desynced here).
+        import random as _random
+
+        rng = _random.Random(f"{self._seed}-{cache_tag}")
 
         if os.path.isfile(cache_file):
             print(f"{manifold_name} dataset already created in {cache_file}.")
@@ -709,8 +733,7 @@ class LatentAugEngine:
                 # admits: with step=20 that's ~6 of ~110 slices/patient,
                 # an ~18x manifold-build saving on the TPU relay.
                 params = manifold.get_params(
-                    self.res, self.crop_size, self.preprocess,
-                    rng=self._manifold_rng)
+                    self.res, self.crop_size, self.preprocess, rng=rng)
                 if not stats.admits(fname):
                     continue
                 item = np.asarray(self._extract_features(x, mode_id, params))

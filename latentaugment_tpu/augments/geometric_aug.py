@@ -146,7 +146,8 @@ class GeometricAugment(BaseAugment):
         parser.add_argument('--elastic_deform', action='store_true', help='If specified, elastic deform the images for augmentation')
         parser.add_argument('--rotate_limit', type=float, default=3, help='Rotation range (-rotate_limit, rotate_limit) in [DEGREE]')
         parser.add_argument('--shift_limit', type=float, default=0.05, help='Shift as a fraction of the image height/width')
-        parser.add_argument('--verbose_log', help='Print losses and time during the optimization process.', type=bool, default=False)
+        from ..options.base_options import str2bool
+        parser.add_argument('--verbose_log', help='Print losses and time during the optimization process.', type=str2bool, default=False)
         return parser
 
     def __init__(self, opt):
@@ -170,6 +171,10 @@ class GeometricAugment(BaseAugment):
             print('')
             print('Val/Test phase.')
             print('All augmentation disabled.')
+            # Identity pass-through so the shared driver loop can still
+            # call forward() (the reference leaves self.transform unset
+            # and crashes here; LatentAugment no-ops, so match that).
+            self.transform = lambda key, x: x
         else:
             raise NotImplementedError
 

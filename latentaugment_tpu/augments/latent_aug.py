@@ -74,10 +74,11 @@ class LatentAugment(BaseAugment):
         parser.add_argument('--w_disc', help='Weight of discriminator loss.', type=float, default=1.0)
 
         parser.add_argument('--num_fp16_res', help='Run the top-N resolution blocks of G/D in bfloat16 (halves HBM, feeds the MXU natively; 0 = full fp32).', type=int, default=4)
+        from ..options.base_options import str2bool
         parser.add_argument('--p_thres', help='Augmentation probability.', type=float, default=1.0)
-        parser.add_argument('--soft_aug', help='Activate smooth augmentation via interpolation.', type=bool, default=False)
+        parser.add_argument('--soft_aug', help='Activate smooth augmentation via interpolation.', type=str2bool, default=False)
         parser.add_argument('--alpha', help='Value for linear interpolation in soft_aug.', type=float, default=1.0)
-        parser.add_argument('--verbose_log', help='Print losses and time during the optimization process.', type=bool, default=False)
+        parser.add_argument('--verbose_log', help='Print losses and time during the optimization process.', type=str2bool, default=False)
         return parser
 
     def __init__(self, opt):
@@ -93,6 +94,8 @@ class LatentAugment(BaseAugment):
         self.stats_time = []
         self._rng = random.Random(getattr(opt, 'seed', 42))
         self._key = jax.random.PRNGKey(getattr(opt, 'seed', 42))
+        self.augmented = False
+        self.w_AB = self.w_AB_aug = None
 
         if self.phase == 'train':
             print('')
@@ -147,10 +150,15 @@ class LatentAugment(BaseAugment):
         self.real_A = np.asarray(data['A'], dtype=np.float32)
         self.real_B = np.asarray(data['B'], dtype=np.float32)
         self.fname = data['A_paths']
+        # The loader yields a final partial batch; the compiled walk runs
+        # at the static batch_size, so inputs are padded up and every
+        # accessor trims back to the real row count.
+        self._n_valid = len(self.fname)
         self.real_AB = np.concatenate((self.real_A, self.real_B), axis=1)
 
     def get_output(self):
-        real_AB_aug = np.asarray(self.real_AB_aug, dtype=np.float32)
+        real_AB_aug = np.asarray(self.real_AB_aug,
+                                 dtype=np.float32)[:self._n_valid]
         real_A_aug = real_AB_aug[:, 0:1, :, :]  # CT
         real_B_aug = real_AB_aug[:, 1:2, :, :]  # MRI
 
@@ -164,12 +172,23 @@ class LatentAugment(BaseAugment):
                 'A_paths': self.fname, 'B_paths': self.fname}
 
     def get_latent_output(self):
-        w_aug = reverse_broadcasting(np.asarray(self.w_AB_aug))
+        if self.w_AB_aug is None:
+            raise RuntimeError(
+                "augmentation was skipped for this batch (p_thres gate or "
+                "val/test phase); no augmented latents to fetch — guard on "
+                "`augment.augmented`")
+        w_aug = reverse_broadcasting(
+            np.asarray(self.w_AB_aug)[:self._n_valid])
         w_aug = np.squeeze(w_aug)
         return {'w': w_aug, 'paths': self.fname if not self.rand_aug else ''}
 
     def get_latent_input(self):
-        w = np.squeeze(np.asarray(self.w_AB))
+        if self.w_AB is None:
+            raise RuntimeError(
+                "augmentation was skipped for this batch (p_thres gate or "
+                "val/test phase); no input latents to fetch — guard on "
+                "`augment.augmented`")
+        w = np.squeeze(np.asarray(self.w_AB)[:self._n_valid])
         return {'w': w, 'paths': self.fname if not self.rand_aug else ''}
 
     def forward(self):
@@ -177,6 +196,7 @@ class LatentAugment(BaseAugment):
         since = time.time()
         self._key, key = jax.random.split(self._key)
         if self._rng.random() > self.p_thres and self.phase == 'train':
+            self.augmented = True
             if self.rand_aug:
                 w_AB = self.sample_from_randn()
                 self.real_AB_aug, self.w_AB_aug = \
@@ -191,12 +211,20 @@ class LatentAugment(BaseAugment):
                     raise NotImplementedError
                 self.real_AB_aug, self.w_AB_aug = \
                     self.latent_aug.forward(self.w_AB, self.fname, key=key)
-            np.asarray(self.real_AB_aug)  # materialize before timing
+            # Materialize host-side once: timing needs the transfer, and
+            # get_output would otherwise re-fetch the whole batch.
+            self.real_AB_aug = np.asarray(self.real_AB_aug)
             time_elapsed = time.time() - since
             if self.verbose_log:
                 print('Augmentation completed in {:.0f}m {:.3f}s'.format(
                     time_elapsed // 60, time_elapsed % 60))
         else:
+            # No latents exist for a skipped batch. The reference leaves
+            # the previous batch's w_AB/w_AB_aug dangling, so its driver
+            # dumps stale latents under the current fname; clearing them
+            # turns that silent corruption into a guarded error.
+            self.augmented = False
+            self.w_AB = self.w_AB_aug = None
             self.real_AB_aug = np.concatenate((self.real_A, self.real_B), axis=1)
             time_elapsed = time.time() - since
             if self.verbose_log:
@@ -234,11 +262,16 @@ class LatentAugment(BaseAugment):
         return np.asarray(jax.random.normal(k, (self.batch_size, self.z_dim)))
 
     def sample_from_inversion(self, fname):
+        assert len(fname) > 0
         w = np.empty((self.batch_size, self.num_ws, self.w_dim), dtype=np.float32)
         for i, fn in enumerate(fname):
             with self.stats_dataset_w.open_file(fn) as f:
                 out_w = pickle.load(f)
             w[i] = np.asarray(out_w, dtype=np.float32)
+        # Pad a partial final batch by repeating the last real row (the
+        # walk is compiled at the static batch_size; np.empty left the
+        # tail uninitialized). Accessors trim back to _n_valid.
+        w[len(fname):] = w[len(fname) - 1]
         w = reverse_broadcasting(w)
         assert w.shape == (self.batch_size, 1, self.w_dim)
         return w

@@ -202,7 +202,15 @@ def center_crop_size(load_size):
 
 
 def get_params(load_size, crop_size, preprocess="center_random_crop", rng=None):
-    """Draw a random crop position; mirrors util_dataset.get_params."""
+    """Draw a random crop position; mirrors util_dataset.get_params.
+
+    'center_crop' and 'original' draw no randomness (fixed (0, 0), which
+    get_transform ignores for them) — the reference's get_params asserts
+    them away (util_dataset.py:290) even though its CLI advertises them
+    and its get_transform handles them, so the engine crashed on the
+    first forward with --preprocess_aug center_crop."""
+    if preprocess in ("center_crop", "original"):
+        return {"crop_pos": (0, 0)}
     assert preprocess in ("center_random_crop", "random_crop")
     new = center_crop_size(load_size) if preprocess == "center_random_crop" else load_size
     hi = max(0, new - crop_size)

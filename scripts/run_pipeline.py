@@ -83,19 +83,26 @@ def main(argv=None):
         out = augment.get_output()
         util_io.write_pickle(out, os.path.join(outdir, "img_aug",
                                                f"img_aug_{i}"))
-        lat = augment.get_latent_output()
-        util_io.write_pickle(lat, os.path.join(outdir, "latent_aug",
-                                               f"latent_aug_{i}"))
-        # batch-1 outputs are squeezed to [w_dim]; restore the batch dim.
-        w_in.append(np.atleast_2d(np.asarray(augment.get_latent_input()["w"])))
-        w_out.append(np.atleast_2d(np.asarray(lat["w"])))
+        # Latents only exist for batches the p_thres gate augmented
+        # (a skipped batch has none; forward() cleared the stale ones).
+        if getattr(augment, "augmented", False):
+            lat = augment.get_latent_output()
+            util_io.write_pickle(lat, os.path.join(outdir, "latent_aug",
+                                                   f"latent_aug_{i}"))
+            # batch-1 outputs are squeezed to [w_dim]; restore the batch dim.
+            w_in.append(np.atleast_2d(
+                np.asarray(augment.get_latent_input()["w"])))
+            w_out.append(np.atleast_2d(np.asarray(lat["w"])))
 
     # ---- Stage 2: metrics (FID + PR per modality) --------------------
     modalities = util_general.parse_comma_separated_list(opt.modalities_aug)
     dataset_kwargs = dict(
         path=os.path.join(opt.interim_dir, opt.dataset_aug,
                           opt.dataset_name_aug + ".zip"),
-        split="train", modalities=modalities, resolution=opt.img_resolution)
+        # Real-image statistics come from the SAME split the augmented
+        # dumps were produced from (a hardcoded 'train' silently produced
+        # cross-split FID/PR when --phase val/test).
+        split=opt.phase, modalities=modalities, resolution=opt.img_resolution)
     dataset_kwargs_gen = dict(dataroot=outdir, aug_name=opt.name,
                               batch_size=opt.batch_size)
     results = []
@@ -112,12 +119,17 @@ def main(argv=None):
         os.path.join(outdir, "pipeline_metrics.json"))
 
     # ---- Stage 3: UMAP manifold coverage -----------------------------
-    w_in = np.concatenate(w_in, axis=0)
-    w_out = np.concatenate(w_out, axis=0)
-    umap_path = os.path.join(outdir, "umap_coverage.png")
-    umap_analysis.manifold_coverage(
-        w_in, {"LatentAugment": w_out}, umap_path)
-    print(f"[pipeline] UMAP coverage plot: {umap_path}")
+    umap_path = None
+    if w_in:
+        w_in = np.concatenate(w_in, axis=0)
+        w_out = np.concatenate(w_out, axis=0)
+        umap_path = os.path.join(outdir, "umap_coverage.png")
+        umap_analysis.manifold_coverage(
+            w_in, {"LatentAugment": w_out}, umap_path)
+        print(f"[pipeline] UMAP coverage plot: {umap_path}")
+    else:
+        print("[pipeline] no augmented latents (p_thres gate skipped "
+              "every batch); UMAP stage skipped")
 
     # ---- Stage 4: trajectory GIF (the engine's verbose batch-1 debug
     # walk wrote per-epoch snapshots into its save_dir) ----------------
