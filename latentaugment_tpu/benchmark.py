@@ -19,6 +19,27 @@ from .models import vgg
 from .models.stylegan2 import networks
 
 
+def _make_gd_configs(res, img_channels, channel_base, channel_max,
+                     num_fp16_res, mbstd_group_size=4):
+    """The bench operating point's G/D configs, shared by the walk-only
+    and policy benches so both compile the identical program (and hit
+    the same persistent compilation cache).
+
+    bf16 on the top blocks (the reference trains its 256² models with
+    num_fp16_res=4) halves the walk's HBM footprint and feeds the MXU at
+    its native precision; tiny CPU-smoke resolutions stay fp32."""
+    n16 = num_fp16_res if res >= 64 else 0
+    g_cfg = networks.generator_config(
+        img_resolution=res, img_channels=img_channels,
+        channel_base=channel_base, channel_max=channel_max,
+        num_fp16_res=n16)
+    d_cfg = networks.discriminator_config(
+        img_resolution=res, img_channels=img_channels,
+        channel_base=channel_base, channel_max=channel_max,
+        mbstd_group_size=mbstd_group_size, num_fp16_res=n16)
+    return g_cfg, d_cfg
+
+
 def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                           channel_max=512, num_epochs=10, opt_lr=0.01,
                           crop_size=64, w_pix=0.1, w_lpips=10.0,
@@ -34,17 +55,8 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
     key = jax.random.PRNGKey(seed)
     kg, kd, kv, km = jax.random.split(key, 4)
 
-    # bf16 on the top blocks (the reference trains its 256² models with
-    # num_fp16_res=4); halves the walk's HBM footprint and feeds the MXU
-    # at its native precision.
-    g_cfg = networks.generator_config(
-        img_resolution=res, img_channels=img_channels,
-        channel_base=channel_base, channel_max=channel_max,
-        num_fp16_res=(num_fp16_res if res >= 64 else 0))
-    d_cfg = networks.discriminator_config(
-        img_resolution=res, img_channels=img_channels,
-        channel_base=channel_base, channel_max=channel_max,
-        mbstd_group_size=4, num_fp16_res=(num_fp16_res if res >= 64 else 0))
+    g_cfg, d_cfg = _make_gd_configs(res, img_channels, channel_base,
+                                    channel_max, num_fp16_res)
     g_params = networks.generator_init(kg, g_cfg)
     d_params = networks.discriminator_init(kd, d_cfg)
     vgg_params = vgg.init_vgg(kv) if w_lpips > 0 else None
@@ -130,14 +142,11 @@ def build_policy_workspace(root, res=256, batch_size=32, num_epochs=10,
     ddir = os.path.join(interim, dataset)
     os.makedirs(ddir, exist_ok=True)
 
-    g_cfg = networks.generator_config(
-        img_resolution=res, img_channels=len(modalities),
-        channel_base=channel_base, channel_max=channel_max,
-        num_fp16_res=(num_fp16_res if res >= 64 else 0))
-    d_cfg = networks.discriminator_config(
-        img_resolution=res, img_channels=len(modalities),
-        channel_base=channel_base, channel_max=channel_max,
-        mbstd_group_size=4, num_fp16_res=(num_fp16_res if res >= 64 else 0))
+    # Same config constructor as build_synthetic_setup: the policy
+    # program must hit the same persistent compilation cache as the
+    # walk-only bench.
+    g_cfg, d_cfg = _make_gd_configs(res, len(modalities), channel_base,
+                                    channel_max, num_fp16_res)
     kg, kd = jax.random.split(jax.random.PRNGKey(seed))
     ckpt = os.path.join(root, "policy_ckpt.pkl")
     convert.save_checkpoint(ckpt, networks.generator_init(kg, g_cfg), g_cfg,
@@ -228,8 +237,10 @@ def run_policy_bench(argv, n_batches=4):
         assert np.isfinite(out["A"].sum()) and np.isfinite(out["B"].sum())
         t3 = time.time()
         times.append(t3 - t0)
-        # forward dispatches the jitted walk asynchronously, so the device
-        # time lands in get_output's host fetch; set_input/forward isolate
-        # the host-side prep (zip lookups, batch concat, w upload).
+        # forward() materializes the augmented batch host-side before it
+        # returns (latent_aug.forward's np.asarray), so the device walk
+        # AND the result fetch land in the forward phase; set_input
+        # isolates the host-side prep (zip lookups, batch concat,
+        # w upload) and get_output is host-side slicing only.
         phases.append([t1 - t0, t2 - t1, t3 - t2])
     return times[1:], opt.batch_size, phases[1:]

@@ -20,18 +20,26 @@ import re
 # result-shape(s) then opcode, e.g.
 #   %ag = f32[16,2,32,32]{3,2,1,0} all-gather(%p), ...   (layout suffix!)
 #   %ar = (f32[], f32[64]) all-reduce(...)
-# Non-scalar results print a {layout} suffix — a census that misses it
-# silently ignores every big-tensor collective (caught by the negative
-# test in tests/test_sharding_audit.py).
+#   %as = (f32[16]{0:T(8,128)S(1)}, f32[128]{0:T(8,128)}) all-gather-start(...)
+# Non-scalar results print a {layout} suffix, and on real TPU the layout
+# itself contains parens/colons (tiling `T(8,128)`, memory space `S(1)`),
+# so the shape text CANNOT be matched with a "no parens inside" class —
+# a census doing that silently ignores every tuple-shaped / async
+# collective on hardware (caught by tests/test_sharding_audit.py).
+# Instead: lazily capture everything between `= ` and the opcode token
+# on the instruction's line (HLO prints one instruction per line).
 _COLLECTIVE_RE = re.compile(
-    r"=\s+((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?))\s+"
+    r"=\s+(.*?)\s+"
     r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start|-done)?\(")
-_SHAPE_RE = re.compile(r"[a-z0-9]+\[([\d,]*)\]")
+    r"(-start|-done)?\(")
+_SHAPE_RE = re.compile(r"(?:[a-z0-9]+\[([\d,]*)\])(?=[{,) ]|$)")
 
 
 def _elements(shape_text):
-    """Total elements across every tensor in a (possibly tuple) shape."""
+    """Total elements across every tensor in a (possibly tuple) shape.
+
+    Layout suffixes like {3,2,1,0:T(8,128)} contain no `type[dims]`
+    tokens, so _SHAPE_RE counts only the real tensor shapes."""
     total = 0
     for dims in _SHAPE_RE.findall(shape_text):
         n = 1
@@ -44,9 +52,14 @@ def _elements(shape_text):
 
 def collective_census(hlo_text):
     """{opcode: [result_element_counts]} for every collective in the
-    optimized HLO text (pass `compiled.as_text()`)."""
+    optimized HLO text (pass `compiled.as_text()`).
+
+    Async pairs are counted once: the `-done` half is skipped (its
+    result repeats the `-start`'s payload shape)."""
     census = {}
-    for shape_text, op in _COLLECTIVE_RE.findall(hlo_text):
+    for shape_text, op, phase in _COLLECTIVE_RE.findall(hlo_text):
+        if phase == "-done":
+            continue
         census.setdefault(op, []).append(_elements(shape_text))
     return census
 

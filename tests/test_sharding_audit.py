@@ -37,6 +37,28 @@ def test_census_parses_hlo_shapes():
     assert "add" not in census
 
 
+def test_census_parses_tpu_tiled_layouts():
+    """Real-TPU HLO layouts contain parens (tiling T(8,128), memory
+    space S(1)) inside the {layout} suffix, and async collectives have
+    tuple shapes; a paren-naive shape matcher misses these entirely and
+    the audit false-passes on hardware (round-3 review)."""
+    hlo = """
+  %ag.1 = f32[16,2,32,32]{3,2,1,0:T(8,128)} all-gather(%p0), channel_id=1
+  %ags.2 = (f32[16,64]{1,0:T(8,128)S(1)}, f32[128,64]{1,0:T(8,128)}) all-gather-start(f32[16,64] %x), channel_id=2
+  %agd.3 = f32[128,64]{1,0:T(8,128)} all-gather-done((f32[16,64], f32[128,64]) %ags.2)
+  %ar.4 = bf16[64]{0:T(512)(2,1)} all-reduce(bf16[64] %y), channel_id=3
+"""
+    census = audit.collective_census(hlo)
+    assert census["all-gather"] == [16 * 2 * 32 * 32, 16 * 64 + 128 * 64]
+    # The -done half repeats the -start's payload: counted once.
+    assert len(census["all-gather"]) == 2
+    assert census["all-reduce"] == [64]
+    # A de-sharded activation behind a tiled tuple must still hard-fail.
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        audit.audit_walk_collectives(census)
+
+
 def test_audit_flags_large_gather_and_passes_small_reduce():
     ok = {"all-reduce": [1, 64], "all-gather": [128]}
     audit.audit_walk_collectives(ok)  # no raise
