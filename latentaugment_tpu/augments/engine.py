@@ -100,8 +100,8 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         W_summary = bundle["W_summary"]
         return w_latent * losses.l2_mean_loss(ws, W_summary[0], W_summary[1])
 
-    def term_disc(bundle, x):
-        logits = networks.discriminator_apply(bundle["d"], d_cfg, x,
+    def term_disc(bundle, x, c=None):
+        logits = networks.discriminator_apply(bundle["d"], d_cfg, x, c=c,
                                               remat=remat)
         return w_disc * losses.disc_softplus_loss(logits)
 
@@ -114,7 +114,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                 x_cc[:, m:m + 1], X_cc_summaries[m][0], X_cc_summaries[m][1])
         return acc / n_modes
 
-    def loss_fn(w, bundle, crop_pos):
+    def loss_fn(w, bundle, crop_pos, c=None):
         ws, x = synth(bundle, w)
 
         aux = {}
@@ -125,7 +125,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
 
         loss_disc = 0.0
         if w_disc > 0.0:
-            loss_disc = term_disc(bundle, x)
+            loss_disc = term_disc(bundle, x, c)
             aux["loss_disc"] = loss_disc
 
         loss_pix = 0.0
@@ -180,11 +180,14 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def adam_step(bundle, carry, t, crop_pos):
+    def adam_step(bundle, carry, t, crop_pos, c=None):
         """One Adam update on w (shared by the scanned walk and the
-        un-scanned debug walk, so both take identical trajectories)."""
+        un-scanned debug walk, so both take identical trajectories).
+        `c` [B, c_dim]: one-hot labels for a conditional D (c_dim > 0) —
+        a TPU-side extension; the reference product path is
+        unconditional."""
         w, m, v = carry
-        g, aux = grad_fn(w, bundle, crop_pos)
+        g, aux = grad_fn(w, bundle, crop_pos, c)
         m = ADAM_B1 * m + (1 - ADAM_B1) * g
         v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
         m_hat = m / (1 - ADAM_B1 ** (t + 1))
@@ -204,24 +207,26 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                                            rng=synth_key)
         return img_aug, ws_aug
 
-    def walk(bundle, w0, crop_pos, synth_key):
-        """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces)."""
+    def walk(bundle, w0, crop_pos, synth_key, c=None):
+        """K Adam steps on w; returns (imgAB_aug, ws_aug, loss_traces).
+        `c` [B, c_dim]: labels for a conditional D (optional, see
+        adam_step)."""
         init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))
         (w_opt, _, _), traces = jax.lax.scan(
-            lambda c, t: adam_step(bundle, c, t, crop_pos), init,
+            lambda carry, t: adam_step(bundle, carry, t, crop_pos, c), init,
             jnp.arange(num_epochs, dtype=jnp.float32))
         img_aug, ws_aug = finish(bundle, w0, w_opt, synth_key)
         return img_aug, ws_aug, traces
 
-    def ganrand(bundle, z, synth_key):
-        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z,
+    def ganrand(bundle, z, synth_key, c=None):
+        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
                                     truncation_psi=truncation_psi)
         img = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
                                        noise_mode="random", rng=synth_key)
         return img, ws
 
-    def z_to_w(bundle, z):
-        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z,
+    def z_to_w(bundle, z, c=None):
+        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
                                     truncation_psi=truncation_psi)
         return ws[:, :1, :]
 
@@ -467,6 +472,7 @@ class LatentAugEngine:
 
         self._fns = fns
         self._dbg_jit = None
+        self._cond_jit = {}  # lazily-jitted conditional (labels) variants
         self._verbose_done = False
         if self.mesh is not None:
             from ..ops.upfirdn2d import set_allow_pallas_blur
@@ -497,6 +503,32 @@ class LatentAugEngine:
         self._synthesize = jax.jit(synthesize)
         self._loss_fn = jax.jit(loss_fn)
 
+    def _cond_fn(self, name):
+        """Lazily jit the conditional (labels-passed) variant of a walk fn.
+
+        TPU-side extension beyond the reference: the reference product
+        path is unconditional, but our SG2 runtime supports c_dim > 0
+        (label-embed mapping, projection D), so a conditional checkpoint
+        can drive the walk by passing one-hot labels `c` [B, c_dim] to
+        forward()/forward_ganrand(). Jitted separately from the
+        unconditional programs (different arity/HLO)."""
+        if name not in self._cond_jit:
+            fn = self._fns[name]
+            if self.mesh is not None and name in ("walk", "ganrand"):
+                from ..parallel import mesh as pmesh
+
+                b = pmesh.batch_sharding(self.mesh)
+                r = pmesh.replicated(self.mesh)
+                shardings = {
+                    "walk": ((r, b, r, r, b), (b, b, r)),
+                    "ganrand": ((r, b, r, b), (b, b)),
+                }[name]
+                self._cond_jit[name] = jax.jit(fn, in_shardings=shardings[0],
+                                               out_shardings=shardings[1])
+            else:
+                self._cond_jit[name] = jax.jit(fn)
+        return self._cond_jit[name]
+
     # ------------------------------------------------------------------
     # Public forward API (parity: LatentAug.forward / forward_ganrand)
 
@@ -504,13 +536,21 @@ class LatentAugEngine:
         self._key_stream, key = jax.random.split(self._key_stream)
         return key
 
-    def forward(self, w, fname=None, key=None):
-        """w [B, 1, w_dim] (or z [B, z_dim]) -> (imgAB_aug, ws_aug [B,num_ws,w_dim])."""
+    def forward(self, w, fname=None, key=None, c=None):
+        """w [B, 1, w_dim] (or z [B, z_dim]) -> (imgAB_aug, ws_aug [B,num_ws,w_dim]).
+
+        `c` [B, c_dim]: one-hot labels for conditional checkpoints
+        (c_dim > 0) — routed to the projection D inside the walk (and to
+        the mapping net when z input is given). Extension beyond the
+        reference, whose product path is unconditional."""
         key = key if key is not None else self._next_key()
         k_crop, k_synth = jax.random.split(key)
         w = jnp.asarray(w)
+        if c is not None:
+            c = jnp.asarray(c)
         if w.ndim == 2:
-            w = self._z_to_w(self._bundle, w)
+            w = (self._z_to_w(self._bundle, w) if c is None
+                 else self._cond_fn("z_to_w")(self._bundle, w, c))
 
         params = manifold.get_params(self.res, self.crop_size, self.preprocess,
                                      rng=self._crop_rng)
@@ -523,6 +563,8 @@ class LatentAugEngine:
                 f"batch {w.shape[0]} must divide the {n_dev}-device mesh "
                 f"(pad with parallel.pad_to_multiple or adjust batch_size)")
             w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
+            if c is not None:
+                c = jax.device_put(c, pmesh.batch_sharding(self.mesh))
 
         if self.verbose_log and not self._verbose_done and self.mesh is None:
             # First verbose batch: un-scanned walk with per-term host timing
@@ -531,24 +573,36 @@ class LatentAugEngine:
             # fused scan.
             self._verbose_done = True
             tick = time.time()
-            img_aug, ws_aug = self._walk_debug(w, crop_pos, k_synth, fname)
+            img_aug, ws_aug = self._walk_debug(w, crop_pos, k_synth, fname,
+                                               c=c)
             self.stats_time["last_forward_s"] = time.time() - tick
             return img_aug, ws_aug
 
         tick = time.time()
-        img_aug, ws_aug, traces = self._walk(self._bundle, w, crop_pos, k_synth)
+        if c is None:
+            img_aug, ws_aug, traces = self._walk(self._bundle, w, crop_pos,
+                                                 k_synth)
+        else:
+            img_aug, ws_aug, traces = self._cond_fn("walk")(
+                self._bundle, w, crop_pos, k_synth, c)
         if self.verbose_log:
             img_aug.block_until_ready()
             self._record_traces(traces, time.time() - tick)
         return img_aug, ws_aug
 
-    def forward_ganrand(self, z, key=None):
+    def forward_ganrand(self, z, key=None, c=None):
         key = key if key is not None else self._next_key()
         z = jnp.asarray(z)
+        if c is not None:
+            c = jnp.asarray(c)
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
             z = jax.device_put(z, pmesh.batch_sharding(self.mesh))
-        return self._ganrand(self._bundle, z, key)
+            if c is not None:
+                c = jax.device_put(c, pmesh.batch_sharding(self.mesh))
+        if c is None:
+            return self._ganrand(self._bundle, z, key)
+        return self._cond_fn("ganrand")(self._bundle, z, key, c)
 
     def synthetize(self, ws, key=None):
         assert ws.shape[1:] == (self.num_ws, self.w_dim)
@@ -577,7 +631,7 @@ class LatentAugEngine:
             )
         return self._dbg_jit
 
-    def _walk_debug(self, w0, crop_pos, synth_key, fname=None):
+    def _walk_debug(self, w0, crop_pos, synth_key, fname=None, c=None):
         """Un-scanned K-epoch walk. Each loss term runs as its own jitted
         program, timed on host (time_latent/time_disc/time_pix/time_lpips
         keys as the reference's time_dict); with batch 1, per-epoch w and
@@ -586,7 +640,7 @@ class LatentAugEngine:
         dbg = self._get_dbg_jit()
         term_args = {
             "loss_latent": lambda ws, x: (self._bundle, ws),
-            "loss_disc": lambda ws, x: (self._bundle, x),
+            "loss_disc": lambda ws, x: (self._bundle, x, c),
             "loss_pix": lambda ws, x: (self._bundle, x),
             "loss_lpips": lambda ws, x: (self._bundle, x, crop_pos),
         }
@@ -607,7 +661,7 @@ class LatentAugEngine:
                               - loss_d.get("loss_lpips", 0.0)
                               + loss_d.get("loss_disc", 0.0))
             carry, _ = dbg.step(self._bundle, carry,
-                                jnp.asarray(float(epoch)), crop_pos)
+                                jnp.asarray(float(epoch)), crop_pos, c)
             jax.block_until_ready(carry[0])
             time_d["time_epoch"] = time.time() - tick_epoch
             self.stats_loss[f"epoch_{epoch}"] = loss_d
