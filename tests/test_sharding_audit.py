@@ -1,11 +1,16 @@
 """Compiled-sharding audit tests (round-2 VERDICT #2).
 
-Lower and compile the production-shape walk on the 8-device virtual CPU
-mesh and assert on the OPTIMIZED HLO: the batch dim stays sharded through
-the hot loop (no activation all-gathers), with collectives only where the
-math needs them (batch-mean loss reductions). Also proves the detector
-itself works by compiling a program with a deliberate mid-graph
-replication and checking the audit flags it.
+Lower and compile the production-STRUCTURE walk on the 8-device virtual
+CPU mesh and assert on the OPTIMIZED HLO: the batch dim stays sharded
+through the hot loop (no activation all-gathers), with collectives only
+where the math needs them (batch-mean loss reductions). The audited
+programs use small spatial shapes (CPU compiles of the 256² program are
+intractable) but the same graph structure: the fast fixture runs the
+fp32 32² walk, and a slow test re-audits with the production bf16
+top-block mixed precision enabled (the one structural difference —
+dtype casts at block boundaries give GSPMD extra resharding points).
+Also proves the detector itself works by compiling a program with a
+deliberate mid-graph replication and checking the audit flags it.
 """
 
 import numpy as np
@@ -107,6 +112,35 @@ def test_walk_output_stays_batch_sharded(compiled_walk):
     img_spec = shardings[0].spec
     assert img_spec[0] is not None and "data" in str(img_spec[0]), \
         f"final image lost its batch sharding: {img_spec}"
+
+
+@pytest.mark.slow
+def test_walk_hlo_audit_with_bf16_blocks():
+    """Re-audit with num_fp16_res>0 (the production bench/engine setting):
+    bf16 casts at the top-block boundaries are the only structural
+    difference between the fast 32² fp32 audit and the real 256² program,
+    and each cast is a point where GSPMD could insert a resharding."""
+    from latentaugment_tpu.ops.upfirdn2d import set_allow_pallas_blur
+
+    set_allow_pallas_blur(False)
+    mesh = pmesh.get_mesh(8)
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=64, channel_base=2048, channel_max=64, num_epochs=2,
+        crop_size=32, manifold_items=8, num_fp16_res=2)
+    assert g_cfg.num_fp16_res == 2  # bf16 blocks actually on
+    batch = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    bundle = jax.device_put(bundle, repl)
+    walk = jax.jit(fns.walk,
+                   in_shardings=(repl, batch, repl, repl),
+                   out_shardings=(batch, batch, repl))
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg,
+                                                          batch_size=16)
+    w0 = jax.device_put(w0, batch)
+    compiled = walk.lower(bundle, w0, crop_pos, synth_key).compile()
+    census = audit.audit_compiled_walk(compiled)
+    assert census.get("all-reduce"), \
+        f"expected loss-reduction all-reduces, census: {census}"
 
 
 # ----------------------------------------------------------------------------
