@@ -474,6 +474,7 @@ class LatentAugEngine:
         self._dbg_jit = None
         self._cond_jit = {}  # lazily-jitted conditional (labels) variants
         self._verbose_done = False
+        self._mesh_spec = None  # (batch_sharding, repl) under a mesh
         if self.mesh is not None:
             from ..ops.upfirdn2d import set_allow_pallas_blur
             from ..parallel import mesh as pmesh
@@ -487,14 +488,23 @@ class LatentAugEngine:
             set_allow_pallas_blur(False)
             batch_sharding = pmesh.batch_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)
+            self._mesh_spec = (batch_sharding, repl)
             self._bundle = jax.device_put(self._bundle, repl)
-            self._walk = jax.jit(
-                walk,
-                in_shardings=(repl, batch_sharding, repl, repl),
-                out_shardings=(batch_sharding, batch_sharding, repl))
+            # Single source of truth for the walk/ganrand sharding
+            # layouts; _cond_fn derives the conditional (labels) variants
+            # from these by appending one batch-sharded arg.
+            self._shard_specs = {
+                "walk": ((repl, batch_sharding, repl, repl),
+                         (batch_sharding, batch_sharding, repl)),
+                "ganrand": ((repl, batch_sharding, repl),
+                            (batch_sharding, batch_sharding)),
+            }
+            self._walk = jax.jit(walk,
+                                 in_shardings=self._shard_specs["walk"][0],
+                                 out_shardings=self._shard_specs["walk"][1])
             self._ganrand = jax.jit(
-                ganrand, in_shardings=(repl, batch_sharding, repl),
-                out_shardings=(batch_sharding, batch_sharding))
+                ganrand, in_shardings=self._shard_specs["ganrand"][0],
+                out_shardings=self._shard_specs["ganrand"][1])
         else:
             self._bundle = jax.device_put(self._bundle)
             self._walk = jax.jit(walk)
@@ -515,19 +525,29 @@ class LatentAugEngine:
         if name not in self._cond_jit:
             fn = self._fns[name]
             if self.mesh is not None and name in ("walk", "ganrand"):
-                from ..parallel import mesh as pmesh
-
-                b = pmesh.batch_sharding(self.mesh)
-                r = pmesh.replicated(self.mesh)
-                shardings = {
-                    "walk": ((r, b, r, r, b), (b, b, r)),
-                    "ganrand": ((r, b, r, b), (b, b)),
-                }[name]
-                self._cond_jit[name] = jax.jit(fn, in_shardings=shardings[0],
-                                               out_shardings=shardings[1])
+                # Same layout as the unconditional program plus one
+                # batch-sharded arg for the labels (single source of
+                # truth: _build_compiled_fns' _shard_specs).
+                b = self._mesh_spec[0]
+                in_sh, out_sh = self._shard_specs[name]
+                self._cond_jit[name] = jax.jit(fn, in_shardings=in_sh + (b,),
+                                               out_shardings=out_sh)
             else:
                 self._cond_jit[name] = jax.jit(fn)
         return self._cond_jit[name]
+
+    def _check_labels(self, c, batch):
+        """A supplied `c` must actually reach a conditional network —
+        otherwise networks.* silently ignore it (c_dim == 0) and the
+        caller gets an unconditional walk while believing it was
+        label-steered."""
+        c_dim = max(self.G_cfg.c_dim,
+                    self.D_cfg.c_dim if self.D_cfg is not None else 0)
+        assert c_dim > 0, (
+            "labels `c` were passed but the loaded checkpoint is "
+            "unconditional (c_dim == 0) — they would be silently ignored")
+        assert c.shape == (batch, c_dim), (
+            f"labels c must be one-hot [{batch}, {c_dim}], got {c.shape}")
 
     # ------------------------------------------------------------------
     # Public forward API (parity: LatentAug.forward / forward_ganrand)
@@ -548,6 +568,7 @@ class LatentAugEngine:
         w = jnp.asarray(w)
         if c is not None:
             c = jnp.asarray(c)
+            self._check_labels(c, w.shape[0])
         if w.ndim == 2:
             w = (self._z_to_w(self._bundle, w) if c is None
                  else self._cond_fn("z_to_w")(self._bundle, w, c))
@@ -595,6 +616,7 @@ class LatentAugEngine:
         z = jnp.asarray(z)
         if c is not None:
             c = jnp.asarray(c)
+            self._check_labels(c, z.shape[0])
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
             z = jax.device_put(z, pmesh.batch_sharding(self.mesh))

@@ -99,11 +99,21 @@ def _cmap_mapping_cfg(cfg):
 # ----------------------------------------------------------------------------
 # Layer primitives (init + apply pairs)
 
-def _fc_init(key, in_features, out_features, bias=True, bias_init=0.0):
-    w = jax.random.normal(key, (out_features, in_features), dtype=jnp.float32)
+def _fc_init(key, in_features, out_features, bias=True, bias_init=0.0,
+             lr_multiplier=1.0):
+    """FullyConnectedLayer init. The stored weight is randn/lr_multiplier
+    (and bias bias_init/lr_multiplier): fc_apply multiplies by
+    lr_multiplier at runtime, so the EFFECTIVE init std is 1/sqrt(in)
+    regardless of lr_multiplier — the pickle-embedded FullyConnectedLayer
+    contract. Without the division, an 8-layer 0.01-lr mapping collapses
+    random-init activations by 100x per layer (~1e-16 at the output)."""
+    w = jax.random.normal(key, (out_features, in_features),
+                          dtype=jnp.float32) / lr_multiplier
     p = {'weight': w}
     if bias:
-        p['bias'] = jnp.full((out_features,), float(bias_init), dtype=jnp.float32)
+        p['bias'] = jnp.full((out_features,),
+                             float(bias_init) / lr_multiplier,
+                             dtype=jnp.float32)
     return p
 
 
@@ -152,7 +162,8 @@ def mapping_init(key, cfg, with_w_avg=True):
     embed_features = int(cfg.get('embed_features', 0) or 0)
     features = [cfg.z_dim + embed_features] + [cfg.w_dim] * cfg.num_mapping_layers
     for i in range(cfg.num_mapping_layers):
-        p[f'fc{i}'] = _fc_init(keys[i], features[i], features[i + 1])
+        p[f'fc{i}'] = _fc_init(keys[i], features[i], features[i + 1],
+                               lr_multiplier=cfg.mapping_lr_multiplier)
     if cfg.c_dim > 0:
         # Label embed: plain FC (lr_mult 1, unlike the 0.01 mapping FCs).
         p['embed'] = _fc_init(keys[cfg.num_mapping_layers], cfg.c_dim,

@@ -15,9 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from latentaugment_tpu.augments import engine as engine_mod
-from latentaugment_tpu.augments import losses, manifold
-from latentaugment_tpu.models.stylegan2 import networks
+from latentaugment_tpu import benchmark
 
 RES = 16
 C_DIM = 3
@@ -26,34 +24,12 @@ N_MODES = 2
 
 @pytest.fixture(scope="module")
 def cond_setup():
-    g_cfg = networks.generator_config(
-        z_dim=32, c_dim=C_DIM, w_dim=32, img_resolution=RES,
-        img_channels=N_MODES, channel_base=1024, channel_max=64,
-        num_mapping_layers=2)
-    d_cfg = networks.discriminator_config(
-        c_dim=C_DIM, img_resolution=RES, img_channels=N_MODES,
-        channel_base=1024, channel_max=64, mbstd_group_size=2,
-        num_mapping_layers=2)
-    kg, kd, km = jax.random.split(jax.random.PRNGKey(0), 3)
-    g_params = networks.generator_init(kg, g_cfg)
-    d_params = networks.discriminator_init(kd, d_cfg)
-
-    cc = manifold.center_crop_size(RES)
-    W = jax.random.normal(jax.random.fold_in(km, 0),
-                          (16, g_cfg.num_ws, g_cfg.w_dim)) * 0.1
-    X_cc = [losses.manifold_summary(jax.random.uniform(
-        jax.random.fold_in(km, 10 + m), (16, 1, cc, cc),
-        minval=-1.0, maxval=1.0)) for m in range(N_MODES)]
     # w_lpips=0: no VGG — the conditional plumbing under test is the
     # disc/mapping path, and skipping the VGG keeps the CPU test fast.
-    fns = engine_mod.make_walk_fns(
-        g_cfg, d_cfg, n_modes=N_MODES, w_pix=0.1, w_lpips=0.0,
-        w_latent=0.001, w_disc=0.05, num_epochs=3, opt_lr=0.01,
-        crop_size=8, remat=False)
-    bundle = engine_mod.make_bundle(
-        g_params, d_params, None, W_summary=losses.manifold_summary(W),
-        X_cc_summaries=X_cc)
-    return fns, bundle, g_cfg
+    return benchmark.build_synthetic_setup(
+        res=RES, channel_base=1024, channel_max=64, num_epochs=3,
+        crop_size=8, w_pix=0.1, w_lpips=0.0, w_latent=0.001, w_disc=0.05,
+        manifold_items=16, remat=False, c_dim=C_DIM)
 
 
 def _one_hot(labels):
@@ -171,6 +147,10 @@ def test_engine_forward_conditional(tmp_path):
     with pytest.raises(AssertionError, match="c_dim"):
         eng.forward(z, key=key)
 
+    # Mis-shaped labels fail loudly too (engine._check_labels).
+    with pytest.raises(AssertionError, match="one-hot"):
+        eng.forward(w, key=key, c=np.ones((2, C_DIM + 1), np.float32))
+
 
 @pytest.mark.slow
 def test_unconditional_signature_unchanged():
@@ -178,20 +158,11 @@ def test_unconditional_signature_unchanged():
     engine's compiled in_shardings tuples and every existing caller).
     Slow lane: every engine/e2e test in the fast lane already runs
     4-arg walks; this is a focused arity guard."""
-    g_cfg = networks.generator_config(
-        z_dim=32, w_dim=32, img_resolution=RES, img_channels=N_MODES,
-        channel_base=1024, channel_max=64, num_mapping_layers=2)
-    d_cfg = networks.discriminator_config(
-        img_resolution=RES, img_channels=N_MODES, channel_base=1024,
-        channel_max=64, mbstd_group_size=2)
-    kg, kd = jax.random.split(jax.random.PRNGKey(0))
-    fns = engine_mod.make_walk_fns(
-        g_cfg, d_cfg, n_modes=N_MODES, w_pix=0.0, w_lpips=0.0,
-        w_latent=0.0, w_disc=0.05, num_epochs=2, opt_lr=0.01,
-        crop_size=8, remat=False)
-    bundle = engine_mod.make_bundle(networks.generator_init(kg, g_cfg),
-                                    networks.discriminator_init(kd, d_cfg))
-    w0 = jax.random.normal(jax.random.PRNGKey(1), (2, 1, g_cfg.w_dim)) * 0.1
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=RES, channel_base=1024, channel_max=64, num_epochs=2,
+        crop_size=8, w_pix=0.0, w_lpips=0.0, w_latent=0.0, w_disc=0.05,
+        remat=False)
+    w0 = jax.random.normal(jax.random.PRNGKey(1), (4, 1, g_cfg.w_dim)) * 0.1
     img, ws, _ = jax.jit(fns.walk)(bundle, w0,
                                    jnp.asarray([1, 2], dtype=jnp.int32),
                                    jax.random.PRNGKey(2))
