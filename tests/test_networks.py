@@ -235,3 +235,22 @@ def test_orbax_checkpoint_roundtrip(tmp_path, tiny_g):
     img1 = networks.generator_apply(g_params, g_cfg, z)
     img2 = networks.generator_apply(g2, gc2, z)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)
+
+
+def test_mapping_random_init_keeps_unit_scale():
+    """FullyConnectedLayer init contract: the stored weight is
+    randn/lr_multiplier, so the runtime lr_multiplier rescale leaves the
+    effective init std at 1/sqrt(in) — an 8-layer 0.01-lr mapping must
+    produce O(1) outputs from random init. Regression: without the
+    division each layer shrank activations 100x (output ~1e-16), which
+    zeroed projection-D logits and label gradients on random-init
+    conditional networks."""
+    cfg = networks.generator_config(z_dim=64, w_dim=64, img_resolution=16,
+                                    img_channels=1, channel_base=512,
+                                    channel_max=64)  # 8 mapping layers
+    assert cfg.num_mapping_layers == 8 and cfg.mapping_lr_multiplier == 0.01
+    params = networks.generator_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (32, cfg.z_dim))
+    w = networks.mapping_apply(params['mapping'], cfg, z, broadcast=False)
+    s = float(jnp.std(w))
+    assert 0.05 < s < 20.0, f"mapping init scale off: std(w) = {s}"
