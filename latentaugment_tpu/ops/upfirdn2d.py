@@ -139,6 +139,104 @@ def _auto_wants_pallas(f, up, down, x=None):
     return jax.default_backend() == 'tpu'
 
 
+# Matmul-FIR auto selection: measured on the relay before enabling (see
+# BENCH_NOTES.md round 3). Off by default until the probe lands a win.
+_ALLOW_MATMUL_BLUR = False
+
+
+def set_allow_matmul_blur(allow):
+    global _ALLOW_MATMUL_BLUR
+    _ALLOW_MATMUL_BLUR = bool(allow)
+
+
+def _auto_wants_matmul(f, x):
+    """Divert separable FIRs to the banded-matmul path (MXU) when enabled.
+
+    The band matrix is dense [len_in, len_out]; tiny images waste MXU
+    tiles and the relative FLOP blow-up (len_in/taps per output) is
+    amortized only when the contraction dim is large, so gate on W."""
+    if not _ALLOW_MATMUL_BLUR:
+        return False
+    if f is None or f.ndim != 1:
+        return False
+    return x is not None and int(x.shape[-1]) >= 64
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_basis_np(n_in, n_out, up, down, pad0, t):
+    """[t, n_in, n_out] 0/1 basis B with M = sum_k f[k] * B[k] the band
+    matrix such that y = x @ M == 1-axis upfirdn of x.
+
+    y[j] = sum_k f[k] * xpad[j*down + k], where xpad is the zero-inserted
+    (factor `up`, samples at positions idx*up + pad0) and padded/cropped
+    signal — exactly `_fir_axis` ∘ pad ∘ zero-insert ∘ [::down] in one
+    linear map. All zeros in M contribute exact 0.0 products, so the
+    matmul reduction equals the t-term shift-add up to reordering of the
+    nonzero terms (±1 ulp) — parity-safe by construction. The basis is
+    static geometry; contracting the (possibly traced) taps into it
+    keeps the op differentiable w.r.t. the filter and jit-safe.
+    """
+    B = np.zeros((t, n_in, n_out), np.float32)
+    for j in range(n_out):
+        for k in range(t):
+            i = j * down + k - pad0  # position in upsampled (unpadded) coords
+            if i % up == 0 and 0 <= i // up < n_in:
+                B[k, i // up, j] += 1.0
+    return B
+
+
+def _upfirdn2d_matmul(x, f, up, down, padding, flip_filter, gain):
+    """Separable upfirdn as two banded dense contractions on the MXU.
+
+    TPU-native reformulation: per axis, bake zero-insert + pad/crop +
+    FIR + decimation into ONE [len_in, len_out] band matrix and contract
+    it with jnp.einsum — a large batched matmul the MXU executes at
+    compute speed-of-light, replacing the bandwidth-bound VPU shift-add
+    chains. The gradient is the transposed contraction (dy @ M^T): no
+    lhs_dilation, no depthwise conv, no strided-slice relayouts anywhere
+    (the toolchain pathologies documented in this module's header).
+
+    Returns None for non-separable or identity filters (caller falls
+    back to the shift-add path).
+    """
+    if f is None or f.ndim != 1:
+        return None
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+    t = int(f.shape[0])
+
+    n, c, h_in, w_in = (int(s) for s in x.shape)
+    lw = w_in * upx + padx0 + padx1
+    lh = h_in * upy + pady0 + pady1
+    w_out = (lw - t) // downx + 1
+    h_out = (lh - t) // downy + 1
+    assert w_out > 0 and h_out > 0
+
+    # Same tap prep as _prep_filter, in traced ops (f may be a jit arg).
+    fk = f.astype(jnp.float32) * (float(gain) ** 0.5)
+    if not flip_filter:
+        fk = jnp.flip(fk, axis=0)
+
+    # TPU MXU takes bf16 inputs with f32 accumulation natively; the CPU
+    # dot thunk (tests) does not support mixed bf16->f32, so upcast there.
+    mm_dtype = x.dtype if jax.default_backend() == 'tpu' else jnp.float32
+    bw = jnp.asarray(_axis_basis_np(w_in, w_out, upx, downx, padx0, t))
+    bh = jnp.asarray(_axis_basis_np(h_in, h_out, upy, downy, pady0, t))
+    mw = jnp.tensordot(fk, bw, 1).astype(mm_dtype)
+    mh = jnp.tensordot(fk, bh, 1).astype(mm_dtype)
+    # W then H; f32 accumulation on the MXU, output in the input dtype
+    # (matches the shift-add path's dtype contract).
+    y = jnp.einsum('nchw,wj->nchj', x.astype(mm_dtype), mw,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('nchw,hj->ncjw', y.astype(mm_dtype), mh,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
 def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
               impl='auto'):
     """Apply the upsample/pad/FIR/downsample pipeline to NCHW `x`.
@@ -148,11 +246,17 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
     flip_filter False = convolution / True = correlation, `gain` scales
     the output magnitude. impl: 'auto' (default: Pallas blur kernel for
     the up=down=1 separable case on single-chip TPU, XLA otherwise),
-    'xla' (shift-add), 'pallas' (fused kernel, custom VJP), or 'ref'.
+    'xla' (shift-add), 'matmul' (banded MXU contraction per axis),
+    'pallas' (fused kernel, custom VJP), or 'ref'.
     """
     assert x.ndim == 4
     if impl == 'ref':
         return _upfirdn2d_ref(x, f, up, down, padding, flip_filter, gain)
+    if impl == 'matmul' or (impl == 'auto' and _auto_wants_matmul(f, x)):
+        y = _upfirdn2d_matmul(x, f, up, down, padding, flip_filter, gain)
+        if y is not None:
+            return y
+        # non-separable / identity filters fall through to shift-add
     if impl == 'pallas' or (impl == 'auto'
                             and _auto_wants_pallas(f, up, down, x)):
         return _upfirdn2d_pallas_op(x, f, up, down, padding, flip_filter, gain)

@@ -321,6 +321,95 @@ def test_auto_blur_dispatch_gating():
         uf_mod.set_allow_pallas_blur(prev_allow)
 
 
+# ----------------------------------------------------------------------------
+# Banded-matmul FIR (MXU contraction form)
+
+MATMUL_CASES = [
+    dict(up=1, down=1, padding=(1, 2, 1, 2)),
+    dict(up=1, down=2, padding=(1, 1, 1, 1)),
+    dict(up=2, down=1, padding=(2, 1, 2, 1)),
+    dict(up=2, down=2, padding=(2, 2, 2, 2)),
+    dict(up=1, down=1, padding=(-2, 3, 0, -1)),  # crops
+    dict(up=1, down=4, padding=(3, 3, 3, 3)),
+]
+
+
+@pytest.mark.parametrize("case", MATMUL_CASES)
+@pytest.mark.parametrize("flip_filter", [False, True])
+def test_upfirdn2d_matmul_matches_xla(case, flip_filter):
+    x = jnp.asarray(rand(2, 3, 16, 16))
+    f = setup_filter([1, 3, 3, 1], separable=True)
+    a = upfirdn2d(x, f, gain=4, flip_filter=flip_filter, impl="matmul",
+                  **case)
+    b = upfirdn2d(x, f, gain=4, flip_filter=flip_filter, impl="xla", **case)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_upfirdn2d_matmul_gradients_jit_traced_filter():
+    """Under jit the filter is a traced argument (network buffers live in
+    the param bundle): the band matrix must be built by contracting the
+    traced taps into the static 0/1 basis, and grads w.r.t. BOTH x and f
+    must match the shift-add path."""
+    import jax
+
+    x = jnp.asarray(rand(2, 3, 16, 16))
+    f = setup_filter([1, 3, 3, 1], separable=True)
+
+    def loss(z, ff, impl):
+        return jnp.sum(jnp.sin(upfirdn2d(z, ff, down=2, padding=(1, 1, 1, 1),
+                                         impl=impl)))
+
+    gx1, gf1 = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                       static_argnums=2)(x, f, "xla")
+    gx2, gf2 = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                       static_argnums=2)(x, f, "matmul")
+    assert float(jnp.abs(gf1).max()) > 1e-3
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_upfirdn2d_matmul_nonseparable_falls_back():
+    """impl='matmul' on a 2-D filter must fall back to shift-add, not
+    crash or silently change semantics."""
+    x = jnp.asarray(rand(1, 2, 8, 8))
+    f2 = setup_filter([1, 3, 3, 1], separable=False)
+    a = upfirdn2d(x, f2, padding=1, impl="matmul")
+    b = upfirdn2d(x, f2, padding=1, impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    # identity (None) filter likewise
+    a = upfirdn2d(x, None, padding=1, impl="matmul")
+    b = upfirdn2d(x, None, padding=1, impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_auto_matmul_dispatch_gating():
+    """Matmul-FIR rides impl='auto' only when explicitly enabled
+    (set_allow_matmul_blur), for separable filters on wide images."""
+    import importlib
+
+    uf_mod = importlib.import_module("latentaugment_tpu.ops.upfirdn2d")
+
+    f1 = setup_filter([1, 3, 3, 1], separable=True)
+    f2 = setup_filter([1, 3, 3, 1], separable=False)
+    wide = np.zeros((1, 1, 128, 256))
+    narrow = np.zeros((1, 1, 8, 9))
+    prev = uf_mod._ALLOW_MATMUL_BLUR
+    try:
+        uf_mod.set_allow_matmul_blur(False)
+        assert not uf_mod._auto_wants_matmul(f1, wide)
+        uf_mod.set_allow_matmul_blur(True)
+        assert uf_mod._auto_wants_matmul(f1, wide)
+        assert not uf_mod._auto_wants_matmul(f1, narrow)
+        assert not uf_mod._auto_wants_matmul(f2, wide)
+        assert not uf_mod._auto_wants_matmul(None, wide)
+    finally:
+        uf_mod.set_allow_matmul_blur(prev)
+
+
 @pytest.mark.slow
 def test_upfirdn2d_fuzz_vs_ref():
     """Seeded sweep of random (up, down, padding incl. crops, anisotropy,
