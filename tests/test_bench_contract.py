@@ -45,8 +45,11 @@ def test_bench_policy_cpu_smoke():
         "import runpy; runpy.run_path('bench.py', run_name='__main__')"
     )
     env = dict(os.environ, LATAUG_BENCH_FORCE_CPU="1")
+    # 73 s alone; generous bound for full-suite CPU contention (the
+    # pipeline-e2e subprocess runs concurrently under pytest-xdist-less
+    # sequential lanes but the machine may host parallel jobs).
     res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                         capture_output=True, text=True, timeout=540)
+                         capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, res.stdout
