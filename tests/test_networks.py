@@ -124,6 +124,49 @@ def test_discriminator(tiny_d):
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.slow
+def test_matmul_blur_flag_preserves_network_numerics():
+    """Enabling the banded-matmul FIR auto path (set_allow_matmul_blur)
+    must leave G synthesis and D forward/backward numerically unchanged:
+    the band matrix bakes the same shift-add linear map, so the only
+    difference is reduction order on the MXU (f32 accumulation on CPU).
+    Res 64 so the W>=64 auto gate actually diverts the network FIRs."""
+    import importlib
+
+    uf_mod = importlib.import_module("latentaugment_tpu.ops.upfirdn2d")
+
+    g_cfg = networks.generator_config(z_dim=64, w_dim=64, img_resolution=64,
+                                      img_channels=2, channel_base=2048,
+                                      channel_max=128, num_mapping_layers=2)
+    g_params = networks.generator_init(jax.random.PRNGKey(0), g_cfg)
+    d_cfg = networks.discriminator_config(img_resolution=64, img_channels=2,
+                                          channel_base=2048, channel_max=128,
+                                          mbstd_group_size=2)
+    d_params = networks.discriminator_init(jax.random.PRNGKey(1), d_cfg)
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, g_cfg.z_dim))
+    img_in = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 64, 64))
+
+    def run_all():
+        img = networks.generator_apply(g_params, g_cfg, z)
+        logits = networks.discriminator_apply(d_params, d_cfg, img_in)
+        gimg = jax.grad(lambda x: jnp.sum(
+            networks.discriminator_apply(d_params, d_cfg, x)))(img_in)
+        return (np.asarray(img), np.asarray(logits), np.asarray(gimg))
+
+    prev = uf_mod._ALLOW_MATMUL_BLUR
+    try:
+        uf_mod.set_allow_matmul_blur(False)
+        base = run_all()
+        uf_mod.set_allow_matmul_blur(True)
+        mm = run_all()
+    finally:
+        uf_mod.set_allow_matmul_blur(prev)
+
+    for a, b in zip(base, mm):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_minibatch_stddev_math():
     x = jnp.asarray(np.random.RandomState(0).randn(4, 6, 3, 3).astype(np.float32))
     out = networks.minibatch_stddev(x, group_size=2, num_channels=1)
