@@ -21,6 +21,52 @@ import time
 
 A5000_BASELINE_SAMPLES_PER_SEC = 2.9
 
+_WATCHDOG_DONE = None
+
+
+def _start_watchdog():
+    """Self-describing failure instead of an infinite hang.
+
+    The TPU relay can be entirely unavailable (measured: even a trivial
+    device_put blocks forever). The driver runs this bench unattended at
+    round end; a hang would leave NO record at all. Arm a timer that, if
+    no result has been printed after LATAUG_BENCH_WATCHDOG_S (default
+    2700 s — far above the worst legitimate cold-compile + relay-stall
+    path), prints an error-describing JSON line (value 0, explicit
+    `error` key: not a measurement) and exits nonzero. Same spirit as
+    the OOM fallback's self-describing JSON (BENCH_NOTES.md round 1)."""
+    import os
+    import threading
+
+    global _WATCHDOG_DONE
+    timeout_s = float(os.environ.get("LATAUG_BENCH_WATCHDOG_S", "2700"))
+    if timeout_s <= 0:
+        return
+    done = threading.Event()
+    _WATCHDOG_DONE = done
+
+    def fire():
+        if done.wait(timeout_s):
+            return
+        print(json.dumps({
+            "metric": "augmented_samples_per_sec_256px_K10",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no bench result after {timeout_s:.0f}s "
+                     "(TPU relay unavailable or stalled) — value is NOT "
+                     "a measurement",
+        }), flush=True)
+        print("[bench] watchdog fired — exiting", file=sys.stderr)
+        os._exit(17)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
+def _disarm_watchdog():
+    if _WATCHDOG_DONE is not None:
+        _WATCHDOG_DONE.set()
+
 
 def main():
     import os
@@ -43,6 +89,7 @@ def main():
 
     from latentaugment_tpu import benchmark
 
+    _start_watchdog()  # arm BEFORE the first device contact
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 
@@ -99,6 +146,7 @@ def main():
                 env = dict(os.environ,
                            LATAUG_BENCH_BATCH=str(batch // 2),
                            LATAUG_BENCH_OOM_FALLBACK="1")
+                _disarm_watchdog()  # the child arms its own
                 sys.exit(subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env).returncode)
@@ -167,6 +215,7 @@ def main():
         "chains_s": [round(c, 3) for c in chains],
         "warm_single_batch_s": round(warm, 3),
     }))
+    _disarm_watchdog()
 
 
 def run_policy_mode(on_tpu):
@@ -215,6 +264,7 @@ def run_policy_mode(on_tpu):
             "per_batch_s": [round(t, 3) for t in times],
             "phase_s": [[round(p, 3) for p in ph] for ph in phases],
         }))
+        _disarm_watchdog()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

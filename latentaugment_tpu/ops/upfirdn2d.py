@@ -140,8 +140,12 @@ def _auto_wants_pallas(f, up, down, x=None):
 
 
 # Matmul-FIR auto selection: measured on the relay before enabling (see
-# BENCH_NOTES.md round 3). Off by default until the probe lands a win.
-_ALLOW_MATMUL_BLUR = False
+# BENCH_NOTES.md round 3). Off by default until the probe lands a win;
+# LATAUG_MATMUL_FIR=1 enables it process-wide (bench/probe A-B knob).
+import os as _os
+
+_ALLOW_MATMUL_BLUR = _os.environ.get(
+    "LATAUG_MATMUL_FIR", "") not in ("", "0", "false")
 
 
 def set_allow_matmul_blur(allow):

@@ -35,6 +35,26 @@ def test_bench_cpu_smoke():
 
 
 
+def test_bench_watchdog_self_describing_on_stall():
+    """If the device never responds (relay down — measured, even
+    device_put can hang forever), bench must print an error-describing
+    JSON line and exit nonzero instead of hanging with no record."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = dict(os.environ, LATAUG_BENCH_FORCE_CPU="1",
+               LATAUG_BENCH_WATCHDOG_S="2")
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 17, (res.returncode, res.stderr[-2000:])
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] == 0.0 and "error" in rec
+    assert "watchdog" in rec["error"]
+
+
 @pytest.mark.slow
 def test_bench_policy_cpu_smoke():
     """--policy mode: one JSON line timing the public per-batch protocol
