@@ -489,14 +489,20 @@ class LatentAugEngine:
             batch_sharding = pmesh.batch_sharding(self.mesh)
             repl = pmesh.replicated(self.mesh)
             self._mesh_spec = (batch_sharding, repl)
-            self._bundle = jax.device_put(self._bundle, repl)
+            # Bundle placement: replicated on a 1-D 'data' mesh (DP);
+            # with a 'model' axis, conv weights are tensor-parallel
+            # (out-channel-sharded) and GSPMD derives the activation
+            # shardings (tp_tree_shardings returns all-replicated when
+            # there is no model axis, so DP behavior is unchanged).
+            bundle_sh = pmesh.tp_tree_shardings(self._bundle, self.mesh)
+            self._bundle = jax.device_put(self._bundle, bundle_sh)
             # Single source of truth for the walk/ganrand sharding
             # layouts; _cond_fn derives the conditional (labels) variants
             # from these by appending one batch-sharded arg.
             self._shard_specs = {
-                "walk": ((repl, batch_sharding, repl, repl),
+                "walk": ((bundle_sh, batch_sharding, repl, repl),
                          (batch_sharding, batch_sharding, repl)),
-                "ganrand": ((repl, batch_sharding, repl),
+                "ganrand": ((bundle_sh, batch_sharding, repl),
                             (batch_sharding, batch_sharding)),
             }
             self._walk = jax.jit(walk,
@@ -579,9 +585,11 @@ class LatentAugEngine:
 
         if self.mesh is not None:
             from ..parallel import mesh as pmesh
-            n_dev = self.mesh.devices.size
-            assert w.shape[0] % n_dev == 0, (
-                f"batch {w.shape[0]} must divide the {n_dev}-device mesh "
+            # Batch shards over the 'data' axis only (a 'model' axis, if
+            # present, shards channels, not the batch).
+            n_data = self.mesh.devices.size // pmesh.model_axis_size(self.mesh)
+            assert w.shape[0] % n_data == 0, (
+                f"batch {w.shape[0]} must divide the {n_data}-way data axis "
                 f"(pad with parallel.pad_to_multiple or adjust batch_size)")
             w = jax.device_put(w, pmesh.batch_sharding(self.mesh))
             if c is not None:

@@ -39,6 +39,7 @@ class LatentAugment(BaseAugment):
         parser.add_argument('--interim_dir', help='Where to save/load the data', metavar='DIR', required=True)
         parser.add_argument('--gpu_ids_aug', type=str, default='0', help='kept for CLI compatibility (JAX manages devices)')
         parser.add_argument('--n_mesh_devices', type=int, default=0, help='shard the batch over this many devices (0 = single device)')
+        parser.add_argument('--n_model_devices', type=int, default=0, help='tensor parallelism: shard conv output channels over this many devices inside each data-parallel group (0/1 = off; must divide n_mesh_devices)')
 
         # Common dataset options.
         parser.add_argument('--dataset_aug', help='', metavar='DIR', default="Pelvis_2.1_repo_no_mask")
@@ -117,7 +118,8 @@ class LatentAugment(BaseAugment):
             n_mesh = getattr(opt, 'n_mesh_devices', 0)
             if n_mesh and n_mesh > 1:
                 from ..parallel import get_mesh
-                mesh = get_mesh(n_mesh)
+                mesh = get_mesh(n_mesh,
+                                n_model=getattr(opt, 'n_model_devices', 0) or 1)
 
             self.latent_aug = engine_mod.define_latentaugment(
                 module_name='latent_aug', phase=opt.phase, opt=opt,

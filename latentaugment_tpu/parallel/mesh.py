@@ -7,11 +7,18 @@ torch.distributed collectives become a `jax.sharding.Mesh` with a
 inserts the ICI collectives (psum for batch-mean losses, all_gather for
 outputs) automatically inside jit.
 
-One axis suffices because LatentAugment is a conv GAN with per-sample
-independent optimization — the only scaling dimension is the batch
-(reference has no tensor/pipeline/sequence parallelism either; SURVEY.md
-§2.6/§5). Multi-host: the same mesh spans hosts; DCN handles the
-cross-slice edges.
+One axis suffices for throughput because LatentAugment is a conv GAN
+with per-sample independent optimization — the only scaling dimension is
+the batch (reference has no tensor/pipeline/sequence parallelism either;
+SURVEY.md §2.6/§5). Multi-host: the same mesh spans hosts; DCN handles
+the cross-slice edges.
+
+Beyond the reference, an optional 'model' axis adds tensor parallelism
+(conv output channels sharded, GSPMD inserting the channel-contraction
+collectives) for the latency-bound regime the 1-D mesh cannot serve: a
+batch too small to split across all chips still spreads its FLOPs over
+the 'model' group. `get_mesh(n, n_model=m)` builds the ('data','model')
+mesh; `tp_tree_shardings` produces the per-leaf param shardings.
 """
 
 import numpy as np
@@ -20,12 +27,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(n_devices=None, devices=None):
-    """1-D 'data' mesh over the first n devices (default: all)."""
+def get_mesh(n_devices=None, devices=None, n_model=1):
+    """'data' mesh over the first n devices (default: all).
+
+    With n_model > 1, a 2-D ('data', 'model') mesh for DP×TP: the model
+    axis is innermost (adjacent device ids) so TP's channel-contraction
+    collectives ride the fastest ICI links."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if n_model and n_model > 1:
+        n = len(devices)
+        if n % n_model:
+            raise ValueError(
+                f"n_model={n_model} must divide the device count {n}")
+        return Mesh(np.array(devices).reshape(n // n_model, n_model),
+                    ("data", "model"))
     return Mesh(np.array(devices), ("data",))
 
 
@@ -41,6 +59,39 @@ def replicated(mesh):
 def shard_batch(x, mesh):
     """Place a host array with its batch axis sharded over the mesh."""
     return jax.device_put(x, batch_sharding(mesh))
+
+
+def model_axis_size(mesh):
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
+def tp_tree_shardings(tree, mesh):
+    """Per-leaf NamedSharding pytree: tensor-parallel param placement.
+
+    Conv weights [out_c, in_c, kh, kw] get out_c sharded over 'model'
+    (each TP shard owns a slice of every layer's output channels; GSPMD
+    derives the activation shardings and inserts the channel-contraction
+    collectives). Everything else — biases, FIR taps, style affines,
+    manifold summaries — is replicated: they are O(C) or stat tensors,
+    so replication costs nothing while keeping the rule unable to
+    mis-shard a non-weight leaf (shape is the only signal available in a
+    bundle pytree). Leaves whose out_c does not divide the model axis
+    stay replicated (e.g. 2-channel toRGB heads). On a 1-D mesh this
+    returns all-replicated, i.e. exactly the DP layout."""
+    n_model = model_axis_size(mesh)
+    repl = NamedSharding(mesh, P())
+    if n_model <= 1:
+        return jax.tree_util.tree_map(lambda _: repl, tree)
+    tp = NamedSharding(mesh, P("model"))
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if (len(shape) == 4 and shape[0] % n_model == 0
+                and shape[0] >= 2 * n_model):
+            return tp
+        return repl
+
+    return jax.tree_util.tree_map(rule, tree)
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
