@@ -45,11 +45,19 @@ def _start_watchdog():
     done = threading.Event()
     _WATCHDOG_DONE = done
 
+    # Match the metric name a SUCCESSFUL run of this mode would emit, so
+    # scrapers keyed on it attribute the failure to the right benchmark
+    # (the backend is unknowable here — the hang IS backend init — so the
+    # TPU-shaped name is used; CPU-smoke runs override the watchdog).
+    policy = "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY")
+    metric = ("policy_samples_per_sec_256px_K10" if policy
+              else "augmented_samples_per_sec_256px_K10")
+
     def fire():
         if done.wait(timeout_s):
             return
         print(json.dumps({
-            "metric": "augmented_samples_per_sec_256px_K10",
+            "metric": metric,
             "value": 0.0,
             "unit": "samples/s",
             "vs_baseline": 0.0,

@@ -495,6 +495,20 @@ class LatentAugEngine:
             # shardings (tp_tree_shardings returns all-replicated when
             # there is no model axis, so DP behavior is unchanged).
             bundle_sh = pmesh.tp_tree_shardings(self._bundle, self.mesh)
+            if pmesh.model_axis_size(self.mesh) > 1:
+                # The shape-only rule can degenerate to all-replicated
+                # (e.g. a checkpoint whose channel counts don't divide the
+                # model axis) — then the 'model' devices would do fully
+                # redundant work while the user believes they measured TP.
+                # Same guard the dryrun/tests apply.
+                n_tp = sum(1 for s in jax.tree_util.tree_leaves(bundle_sh)
+                           if s.spec != jax.sharding.PartitionSpec())
+                if n_tp == 0:
+                    raise ValueError(
+                        "tensor parallelism requested (model axis "
+                        f"{pmesh.model_axis_size(self.mesh)}) but no param "
+                        "leaf is divisible by it — the TP run would be "
+                        "silently redundant; lower n_model_devices")
             self._bundle = jax.device_put(self._bundle, bundle_sh)
             # Single source of truth for the walk/ganrand sharding
             # layouts; _cond_fn derives the conditional (labels) variants

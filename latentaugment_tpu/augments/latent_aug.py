@@ -116,10 +116,16 @@ class LatentAugment(BaseAugment):
 
             mesh = None
             n_mesh = getattr(opt, 'n_mesh_devices', 0)
+            n_model = getattr(opt, 'n_model_devices', 0) or 1
+            if n_model > 1 and not (n_mesh and n_mesh > 1):
+                raise ValueError(
+                    f"--n_model_devices {n_model} requires --n_mesh_devices "
+                    "(the total device count the ('data','model') mesh is "
+                    "built from); without it the TP request would be "
+                    "silently dropped")
             if n_mesh and n_mesh > 1:
                 from ..parallel import get_mesh
-                mesh = get_mesh(n_mesh,
-                                n_model=getattr(opt, 'n_model_devices', 0) or 1)
+                mesh = get_mesh(n_mesh, n_model=n_model)
 
             self.latent_aug = engine_mod.define_latentaugment(
                 module_name='latent_aug', phase=opt.phase, opt=opt,

@@ -145,7 +145,8 @@ def _auto_wants_pallas(f, up, down, x=None):
 import os as _os
 
 _ALLOW_MATMUL_BLUR = _os.environ.get(
-    "LATAUG_MATMUL_FIR", "") not in ("", "0", "false")
+    "LATAUG_MATMUL_FIR", "").strip().lower() not in ("", "0", "false",
+                                                     "off", "no")
 
 
 def set_allow_matmul_blur(allow):
@@ -166,30 +167,33 @@ def _auto_wants_matmul(f, x):
     return x is not None and int(x.shape[-1]) >= 64
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=None)
-def _axis_basis_np(n_in, n_out, up, down, pad0, t):
-    """[t, n_in, n_out] 0/1 basis B with M = sum_k f[k] * B[k] the band
-    matrix such that y = x @ M == 1-axis upfirdn of x.
+def _axis_band_matrix(fk, n_in, n_out, up, down, pad0):
+    """[n_in, n_out] band matrix M with y = x @ M == 1-axis upfirdn of x.
 
     y[j] = sum_k f[k] * xpad[j*down + k], where xpad is the zero-inserted
     (factor `up`, samples at positions idx*up + pad0) and padded/cropped
     signal — exactly `_fir_axis` ∘ pad ∘ zero-insert ∘ [::down] in one
-    linear map. All zeros in M contribute exact 0.0 products, so the
-    matmul reduction equals the t-term shift-add up to reordering of the
-    nonzero terms (±1 ulp) — parity-safe by construction. The basis is
-    static geometry; contracting the (possibly traced) taps into it
-    keeps the op differentiable w.r.t. the filter and jit-safe.
-    """
-    B = np.zeros((t, n_in, n_out), np.float32)
-    for j in range(n_out):
-        for k in range(t):
-            i = j * down + k - pad0  # position in upsampled (unpadded) coords
-            if i % up == 0 and 0 <= i // up < n_in:
-                B[k, i // up, j] += 1.0
-    return B
+    linear map: M = sum_k f[k] * B[k], with the 0/1 basis
+    B[k, i, j] = [j*down + k - pad0 == i*up] (the multiples-of-`up` form
+    subsumes the `p % up == 0 and p // up == i` membership test). All
+    zeros contribute exact 0.0 products, so the matmul reduction equals
+    the t-term shift-add up to reordering of the nonzero terms (±1 ulp)
+    — parity-safe by construction.
+
+    The basis is built IN-GRAPH from broadcasted iota comparisons, not
+    as a trace-time numpy constant: a [t, n_in, n_out] f32 constant is
+    1-4 MB per distinct geometry and G+D+grad sum to tens of MB — enough
+    to trip the relay's request-body limit (HTTP 413, CLAUDE.md). Iotas
+    carry no payload; the server-side compiler folds them for free.
+    Contracting the (possibly traced) taps into the basis keeps the op
+    differentiable w.r.t. the filter and jit-safe."""
+    t = int(fk.shape[0])
+    shape = (t, n_in, n_out)
+    k = lax.broadcasted_iota(jnp.int32, shape, 0)
+    i = lax.broadcasted_iota(jnp.int32, shape, 1)
+    j = lax.broadcasted_iota(jnp.int32, shape, 2)
+    basis = (j * down + k - pad0 == i * up).astype(jnp.float32)
+    return jnp.tensordot(fk, basis, 1)
 
 
 def _upfirdn2d_matmul(x, f, up, down, padding, flip_filter, gain):
@@ -228,10 +232,8 @@ def _upfirdn2d_matmul(x, f, up, down, padding, flip_filter, gain):
     # TPU MXU takes bf16 inputs with f32 accumulation natively; the CPU
     # dot thunk (tests) does not support mixed bf16->f32, so upcast there.
     mm_dtype = x.dtype if jax.default_backend() == 'tpu' else jnp.float32
-    bw = jnp.asarray(_axis_basis_np(w_in, w_out, upx, downx, padx0, t))
-    bh = jnp.asarray(_axis_basis_np(h_in, h_out, upy, downy, pady0, t))
-    mw = jnp.tensordot(fk, bw, 1).astype(mm_dtype)
-    mh = jnp.tensordot(fk, bh, 1).astype(mm_dtype)
+    mw = _axis_band_matrix(fk, w_in, w_out, upx, downx, padx0).astype(mm_dtype)
+    mh = _axis_band_matrix(fk, h_in, h_out, upy, downy, pady0).astype(mm_dtype)
     # W then H; f32 accumulation on the MXU, output in the input dtype
     # (matches the shift-add path's dtype contract).
     y = jnp.einsum('nchw,wj->nchj', x.astype(mm_dtype), mw,

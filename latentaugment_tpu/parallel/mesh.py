@@ -73,11 +73,14 @@ def tp_tree_shardings(tree, mesh):
     derives the activation shardings and inserts the channel-contraction
     collectives). Everything else — biases, FIR taps, style affines,
     manifold summaries — is replicated: they are O(C) or stat tensors,
-    so replication costs nothing while keeping the rule unable to
-    mis-shard a non-weight leaf (shape is the only signal available in a
-    bundle pytree). Leaves whose out_c does not divide the model axis
-    stay replicated (e.g. 2-channel toRGB heads). On a 1-D mesh this
-    returns all-replicated, i.e. exactly the DP layout."""
+    so replication costs nothing. Shape is the only signal available in
+    a bundle pytree, so the rule is "any 4-D leaf with a divisible dim0"
+    — conv weights are the only 4-D leaves in our bundles today; a
+    future 4-D non-weight bundle entry (e.g. an image stack) would be
+    sharded on dim0 too and should be added as an explicit exception
+    here. Leaves whose out_c does not divide the model axis stay
+    replicated (e.g. 2-channel toRGB heads). On a 1-D mesh this returns
+    all-replicated, i.e. exactly the DP layout."""
     n_model = model_axis_size(mesh)
     repl = NamedSharding(mesh, P())
     if n_model <= 1:

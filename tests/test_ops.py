@@ -371,6 +371,28 @@ def test_upfirdn2d_matmul_gradients_jit_traced_filter():
                                atol=1e-5)
 
 
+def test_upfirdn2d_matmul_no_giant_constants():
+    """The band basis must be built in-graph (iota comparisons), not
+    baked as trace-time numpy constants: a [t,n_in,n_out] f32 constant
+    is MBs per geometry and the relay rejects large request bodies
+    (HTTP 413 — CLAUDE.md). Lower the matmul path and assert no large
+    dense literal appears in the HLO."""
+    import re
+
+    import jax
+
+    x = jnp.zeros((1, 2, 64, 64), jnp.float32)
+    f = setup_filter([1, 3, 3, 1], separable=True)
+    text = jax.jit(
+        lambda z, ff: upfirdn2d(z, ff, down=2, padding=(1, 1, 1, 1),
+                                impl="matmul")).lower(x, f).as_text()
+    blobs = re.findall(r'dense<"?0x[0-9A-Fa-f]+"?>', text)
+    worst = max((len(b) for b in blobs), default=0)
+    assert worst < 20000, (
+        f"matmul-FIR lowering embeds a {worst}-char dense literal — the "
+        "band basis is being baked as a constant again")
+
+
 def test_upfirdn2d_matmul_nonseparable_falls_back():
     """impl='matmul' on a 2-D filter must fall back to shift-add, not
     crash or silently change semantics."""

@@ -68,6 +68,22 @@ def test_tp_generator_matches_single():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_n_model_devices_without_mesh_rejected(tmp_path_factory):
+    """--n_model_devices without --n_mesh_devices must raise, not
+    silently drop the TP request and run single-device."""
+    from latentaugment_tpu.options import AugOptions
+    from latentaugment_tpu.augments import create_augment
+
+    from synthetic import build_workspace
+
+    ws = build_workspace(tmp_path_factory.mktemp("ws_tp_bad"))
+    opt = AugOptions().parse(
+        argv=list(ws["argv"]) + ["--n_model_devices", "2"],
+        install_logger=False)
+    with pytest.raises(ValueError, match="n_mesh_devices"):
+        create_augment(opt)
+
+
 @pytest.mark.slow
 def test_tp_sharded_walk_matches_single_device():
     """Full K-step walk on a (data=4, model=2) mesh == unsharded walk."""
