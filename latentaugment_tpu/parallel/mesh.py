@@ -19,6 +19,11 @@ collectives) for the latency-bound regime the 1-D mesh cannot serve: a
 batch too small to split across all chips still spreads its FLOPs over
 the 'model' group. `get_mesh(n, n_model=m)` builds the ('data','model')
 mesh; `tp_tree_shardings` produces the per-leaf param shardings.
+
+Pipeline/sequence/expert parallelism are deliberately absent: the walk
+is a K-step sequential optimization of one small latent (no microbatch
+stream to pipeline), images are not sequences, and the networks have no
+experts — DP×TP covers every scaling regime this workload has.
 """
 
 import numpy as np
