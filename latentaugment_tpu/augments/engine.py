@@ -81,6 +81,15 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
     w_latent, w_disc = float(w_latent), float(w_disc)
 
     def broadcast(w):
+        # The walk operates in flat W space: one w per sample, repeated
+        # across layers (ref broadcasting, util_latent_aug.py:494). A
+        # per-layer W+ input would silently repeat to [B, num_ws², dim]
+        # and fail deep inside the latent-manifold loss — reject at
+        # trace time instead.
+        if w.shape[1] != 1:
+            raise ValueError(
+                f"walk w must be [B, 1, w_dim] (flat W space), got {w.shape}; "
+                "collapse per-layer W+ input with reverse_broadcasting() first")
         return jnp.repeat(w, num_ws, axis=1)
 
     # Per-term loss functions, exposed individually so the debug walk can
@@ -654,6 +663,9 @@ class LatentAugEngine:
         return self._synthesize(self._bundle, jnp.asarray(ws), key)
 
     def broadcasting(self, latent):
+        if latent.ndim != 3 or latent.shape[1] != 1:
+            raise ValueError(
+                f"broadcasting expects [B, 1, w_dim], got {latent.shape}")
         return jnp.repeat(latent, self.num_ws, axis=1)
 
     @staticmethod

@@ -76,7 +76,10 @@ def probe_walk(batch=32, res=256):
     t0 = time.time()
     for i in range(iters):
         img, ws, _ = walk(bundle, w, crop_pos, synth_key)
-        w = w0 + 1e-3 * ws[-1] + 1e-6 * i
+        # Scalar feedback keeps w at [B, 1, w_dim] (ws[-1] is the
+        # broadcast [B, num_ws, w_dim] trajectory — feeding it back
+        # retraces the walk with a wrong-shaped w).
+        w = w0 + 1e-4 * jnp.mean(img) + 1e-6 * i
     host = np.asarray(jnp.sum(img))
     dt = (time.time() - t0) / iters
     assert np.isfinite(host)

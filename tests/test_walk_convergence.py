@@ -50,3 +50,16 @@ def test_walk_disc_only_decreases_disc_loss():
     _, _, traces = walk(bundle, w0, crop_pos, key)
     disc = np.asarray(traces["loss_disc"])
     assert disc[-1] < disc[0], f"disc loss did not fall: {disc}"
+
+
+def test_walk_rejects_per_layer_w():
+    """The walk operates in flat W space: per-layer W+ input must fail at
+    trace time with a clear message, not deep inside the manifold loss."""
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=32, channel_base=1024, channel_max=64, num_epochs=2, crop_size=16,
+        manifold_items=8)
+    walk = jax.jit(fns.walk)
+    w0, crop_pos, key = benchmark.example_walk_args(g_cfg, 4)
+    w_plus = np.repeat(np.asarray(w0), g_cfg.num_ws, axis=1)
+    with pytest.raises(ValueError, match="flat W space"):
+        walk(bundle, w_plus, crop_pos, key)
