@@ -139,8 +139,9 @@ def _auto_wants_pallas(f, up, down, x=None):
     return jax.default_backend() == 'tpu'
 
 
-# Matmul-FIR auto selection: measured on the relay before enabling (see
-# BENCH_NOTES.md round 3). Off by default until the probe lands a win;
+# Matmul-FIR auto selection: probed on TPU hardware (BENCH_NOTES.md
+# round 3) and measured 3-11% SLOWER than the shift-add default at every
+# width gate — stays off by default as a validated alternative.
 # LATAUG_MATMUL_FIR=1 enables it process-wide (bench/probe A-B knob).
 import os as _os
 
@@ -159,12 +160,14 @@ def _auto_wants_matmul(f, x):
 
     The band matrix is dense [len_in, len_out]; tiny images waste MXU
     tiles and the relative FLOP blow-up (len_in/taps per output) is
-    amortized only when the contraction dim is large, so gate on W."""
+    amortized only when the contraction dim is large, so gate on W
+    (threshold probe-tunable via LATAUG_MATMUL_FIR_MINW)."""
     if not _ALLOW_MATMUL_BLUR:
         return False
     if f is None or f.ndim != 1:
         return False
-    return x is not None and int(x.shape[-1]) >= 64
+    min_w = int(_os.environ.get("LATAUG_MATMUL_FIR_MINW", "64"))
+    return x is not None and int(x.shape[-1]) >= min_w
 
 
 def _axis_band_matrix(fk, n_in, n_out, up, down, pad0):
