@@ -71,7 +71,7 @@ def w_stats(mapping_params, g_cfg, key, n_samples=10000):
 def make_project_fn(g_cfg, num_steps=1000, initial_lr=0.1,
                     initial_noise_factor=0.05, lr_rampdown_length=0.25,
                     lr_rampup_length=0.05, noise_ramp_length=0.75,
-                    pix_weight=0.0, remat=False):
+                    pix_weight=0.0, remat=False, checkpoint_feats=False):
     """Returns project(g_params, vgg_params, target, w_avg, w_std, key)
     -> (w_opt [B,1,w_dim], dists [num_steps]).
 
@@ -100,6 +100,13 @@ def make_project_fn(g_cfg, num_steps=1000, initial_lr=0.1,
             (batch, 1, w_avg.shape[-1])).astype(jnp.float32)
         step_keys = jax.random.split(key, num_steps)
 
+        feat_fn = perceptual
+        if checkpoint_feats:
+            # Recompute the VGG activations in the backward pass instead
+            # of storing them (the full-res feature stack dominates the
+            # step's residuals at larger batches).
+            feat_fn = jax.checkpoint(perceptual)
+
         def loss_fn(w, nk, t_frac):
             noise_scale = (w_std * initial_noise_factor
                            * jnp.square(jnp.maximum(
@@ -108,7 +115,7 @@ def make_project_fn(g_cfg, num_steps=1000, initial_lr=0.1,
             ws = jnp.repeat(wn, num_ws, axis=1)
             x = networks.synthesis_apply(g_params["synthesis"], g_cfg, ws,
                                          noise_mode="const", remat=remat)
-            f = perceptual(vgg_params, x)
+            f = feat_fn(vgg_params, x)
             dist = jnp.mean(jnp.sum(jnp.square(f - target_feats)
                                     .reshape(batch, -1), axis=-1))
             if pix_weight > 0.0:
