@@ -44,7 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--num_steps", type=int, default=1000,
                    help="Adam steps per batch (NVIDIA projector default)")
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="16 is the measured-good operating point on the "
+                        "current TPU toolchain: batches 4-8 at 256² hit a "
+                        "backend kernel fault (worker crash) in the composed "
+                        "G+VGG program; 2, 3 and 16 are verified (see "
+                        "BENCH_NOTES.md round 3)")
     p.add_argument("--initial_lr", type=float, default=0.1)
     p.add_argument("--pix_weight", type=float, default=0.0,
                    help="optional pixel-MSE term on top of the perceptual "
