@@ -1,13 +1,19 @@
 """One-command demo of the full LatentAugment pipeline (the paper's
-evaluation loop): augment a dataset -> dump augmented pairs/latents ->
+evaluation loop): [optionally invert the dataset to W latents with the
+native projector] -> augment a dataset -> dump augmented pairs/latents ->
 FID + precision/recall per modality -> UMAP manifold-coverage plot ->
 optimization-trajectory GIF.
 
 Chains the same components the reference drives through four separate
 scripts (backbone_latentaug.py, analysis/sg2_metrics_analysis.py,
-analysis/umap_analysis.py, misc/create_gif.py).
+analysis/umap_analysis.py, misc/create_gif.py) — plus the inversion
+step the reference defers to NVIDIA's external projector.py
+(reference README.md:62-63): `--project` runs the TPU-native batched
+projector (scripts/project_dataset.py) and feeds its inversion zip to
+the policy, so the whole workflow is self-contained.
 
     python scripts/run_pipeline.py --synthetic            # zero-download demo
+    python scripts/run_pipeline.py --synthetic --project  # incl. native inversion
     python scripts/run_pipeline.py --dataroot ... --model_dir ...   # real data
 """
 
@@ -31,6 +37,10 @@ def main(argv=None):
 
     synthetic = pop_flag("--synthetic", False, is_bool=True)
     n_imgs = int(pop_flag("--n_imgs", "32"))
+    do_project = pop_flag("--project", False, is_bool=True)
+    project_steps = int(pop_flag("--project_steps", "100"))
+    # 16 is the measured-good TPU operating point (BENCH_NOTES.md round 3).
+    project_batch = int(pop_flag("--project_batch", "16"))
     if pop_flag("--cpu", False, is_bool=True) \
             or os.environ.get("LATAUG_PIPELINE_FORCE_CPU"):
         # The axon sitecustomize pins a remote TPU; JAX_PLATFORMS env is
@@ -67,6 +77,35 @@ def main(argv=None):
     outdir = os.path.join(opt.checkpoints_dir, opt.name)
     for sub in ("img_aug", "latent_aug", "snap"):
         util_path.create_dir(os.path.join(outdir, sub))
+
+    # ---- Stage 0 (opt-in): native latent inversion ---------------------
+    # Produces the inversion zip the policy's --init_w inv path consumes,
+    # in place of the reference's external-NVIDIA-projector prerequisite.
+    if do_project:
+        from scripts.project_dataset import main as project_main
+
+        data_zip = os.path.join(opt.interim_dir, opt.dataset_aug,
+                                opt.dataset_name_aug + ".zip")
+        proj_w_name = opt.dataset_w_name + "-projected"
+        dest_zip = os.path.join(opt.interim_dir, opt.dataset_aug,
+                                proj_w_name + ".zip")
+        if opt.init_w != "inv":
+            print("[pipeline] WARNING: --project requested but --init_w "
+                  f"is '{opt.init_w}' — the projected latents will not "
+                  "seed the walk (pass --init_w inv)")
+        print(f"[pipeline] projecting {data_zip} -> {dest_zip} "
+              f"({project_steps} steps, batch {project_batch})")
+        project_main([
+            "--checkpoint", opt.model_dir, "--data_zip", data_zip,
+            "--split", opt.phase, "--modalities", opt.modalities_aug,
+            "--resolution", str(opt.img_resolution),
+            "--num_steps", str(project_steps),
+            "--batch_size", str(project_batch),
+            "--w_avg_samples", "256" if synthetic else "10000",
+            "--outdir", os.path.join(outdir, "temp-projector"),
+            "--dest_zip", dest_zip,
+        ])
+        opt.dataset_w_name = proj_w_name  # engine reads interim/<ds>/<name>.zip
 
     # ---- Stage 1: augment + dump -------------------------------------
     dataset = create_dataset(opt)
