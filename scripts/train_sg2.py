@@ -1,0 +1,195 @@
+"""Train StyleGAN2(-ADA) natively on TPU — the checkpoint *producer* the
+reference defers to NVIDIA's external stylegan2-ada trainer (reference
+README.md:55-59). Output snapshots are native checkpoints directly
+consumable by the policy (`backbone_latentaugment.py --model_dir`), the
+projector (`scripts/project_dataset.py --checkpoint`) and the metric
+suite, making the whole LatentAugment workflow self-contained:
+
+    python scripts/train_sg2.py --outdir runs/pelvis \\
+        --data interim/Pelvis/Pelvis-img.zip \\
+        --modalities MR_nonrigid_CT,MR_MR_T2 --resolution 256 \\
+        --batch 32 --kimg 25000 --aug ada --augpipe bgc
+
+    python scripts/train_sg2.py --synthetic --kimg 0.05   # smoke demo
+
+Flag names mirror NVIDIA's train.py surface (gamma/kimg/snap/aug/p/
+target/augpipe/mirror/resume) so migrating a training recipe is a
+rename-free copy; see MIGRATION.md.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    p.add_argument('--outdir', default='./runs/sg2')
+    p.add_argument('--data', default=None,
+                   help='dataset zip (<split>/<patient>/<slice>.pickle, '
+                        '[0,255] floats — dataset_tool output)')
+    p.add_argument('--modalities', default='MR_nonrigid_CT,MR_MR_T2')
+    p.add_argument('--split', default='train')
+    p.add_argument('--resolution', type=int, default=256)
+    p.add_argument('--cond', action='store_true',
+                   help='conditional training on dataset.json labels')
+    p.add_argument('--mirror', action='store_true',
+                   help='x-flip dataset amplification')
+    p.add_argument('--batch', type=int, default=32)
+    p.add_argument('--gamma', default='auto',
+                   help='R1 weight; auto = 0.0002*res^2/batch')
+    p.add_argument('--kimg', type=float, default=25000)
+    p.add_argument('--snap', type=float, default=50,
+                   help='snapshot every N kimg')
+    p.add_argument('--lr', type=float, default=2.5e-3)
+    p.add_argument('--aug', default='ada', choices=['noaug', 'ada', 'fixed'])
+    p.add_argument('--p', type=float, default=0.0,
+                   help='initial (fixed: constant) augmentation prob')
+    p.add_argument('--target', type=float, default=0.6, help='ADA r_t target')
+    p.add_argument('--augpipe', default='bgc',
+                   choices=['blit', 'geom', 'color', 'noise', 'cutout',
+                            'bg', 'bgc', 'bgcfnc'])
+    p.add_argument('--fp16_res', type=int, default=4,
+                   help='num highest-res blocks in bf16 (0 = fp32)')
+    p.add_argument('--remat', type=int, default=0,
+                   help='checkpoint blocks with res >= this (0 = off)')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume', default=None,
+                   help='native checkpoint to resume G/D from')
+    p.add_argument('--n_devices', type=int, default=0,
+                   help='data-parallel mesh size (0 = single device)')
+    p.add_argument('--synthetic', action='store_true',
+                   help='train on random data (demo/smoke, 32x32)')
+    p.add_argument('--channel_base', type=int, default=32768)
+    p.add_argument('--channel_max', type=int, default=512)
+    p.add_argument('--map_layers', type=int, default=2,
+                   help='mapping depth (NVIDIA auto config uses 2)')
+    p.add_argument('--cpu', action='store_true', help='force CPU backend')
+    return p.parse_args(argv)
+
+
+def make_data_iter(args, batch_size, c_dim):
+    """Yield (imgs [B,C,H,W] float32 in [-1,1], labels or None) forever."""
+    if args.synthetic:
+        chans = len(args.modalities.split(','))
+        rng = np.random.RandomState(args.seed)
+
+        def it():
+            while True:
+                imgs = rng.rand(batch_size, chans, args.resolution,
+                                args.resolution).astype(np.float32) * 2 - 1
+                c = np.eye(c_dim, dtype=np.float32)[
+                    rng.randint(0, c_dim, batch_size)] if c_dim else None
+                yield imgs, c
+        return it(), chans
+
+    from latentaugment_tpu.models.stylegan2.dataset import \
+        CustomImageFolderDataset
+    from latentaugment_tpu.utils.util_misc import InfiniteSampler
+    import jax
+    ds = CustomImageFolderDataset(
+        args.data, modalities=args.modalities.split(','), split=args.split,
+        resolution=args.resolution, use_labels=args.cond,
+        xflip=args.mirror)
+    sampler = InfiniteSampler(len(ds), rank=jax.process_index(),
+                              num_replicas=jax.process_count(),
+                              seed=args.seed)
+
+    def it():
+        idx_iter = iter(sampler)
+        while True:
+            imgs, labels = [], []
+            for _ in range(batch_size):
+                img, c = ds[next(idx_iter)]
+                imgs.append(img.astype(np.float32) / 127.5 - 1.0)
+                labels.append(c)
+            c = np.stack(labels).astype(np.float32) \
+                if args.cond and labels[0] is not None and \
+                np.asarray(labels[0]).size else None
+            yield np.stack(imgs), c
+    return it(), ds
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu or os.environ.get('LATAUG_TRAIN_FORCE_CPU'):
+        # env JAX_PLATFORMS is ignored under the axon sitecustomize;
+        # force via config (same pattern as run_pipeline.py).
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    import jax
+    from latentaugment_tpu.models.stylegan2 import convert, networks, train
+    from latentaugment_tpu.parallel import mesh as pmesh
+
+    if args.synthetic:
+        # Tiny demo operating point (CPU-smokeable in seconds).
+        if args.resolution > 32:
+            args.resolution = 32
+        if args.channel_base == 32768:
+            args.channel_base = 1024
+        if args.channel_max == 512:
+            args.channel_max = 64
+
+    c_dim = 0
+    data_iter, ds = make_data_iter(args, args.batch, c_dim=2 if args.cond
+                                   else 0)
+    if args.synthetic:
+        img_channels = ds
+        c_dim = 2 if args.cond else 0
+    else:
+        img_channels = ds.num_channels
+        c_dim = ds.label_dim if args.cond else 0
+
+    if args.resume:
+        g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(args.resume)
+        g_params = jax.tree_util.tree_map(np.asarray, g_params)
+        d_params = jax.tree_util.tree_map(np.asarray, d_params)
+    else:
+        g_params = d_params = None
+        g_cfg = networks.generator_config(
+            img_resolution=args.resolution, img_channels=img_channels,
+            c_dim=c_dim, channel_base=args.channel_base,
+            channel_max=args.channel_max,
+            num_mapping_layers=args.map_layers,
+            num_fp16_res=args.fp16_res if args.resolution >= 64 else 0)
+        d_cfg = networks.discriminator_config(
+            img_resolution=args.resolution, img_channels=img_channels,
+            c_dim=c_dim, channel_base=args.channel_base,
+            channel_max=args.channel_max,
+            num_fp16_res=args.fp16_res if args.resolution >= 64 else 0)
+
+    gamma = None if args.gamma == 'auto' else float(args.gamma)
+    cfg = train.train_config(
+        batch_size=args.batch, lr=args.lr, r1_gamma=gamma,
+        aug=args.aug, aug_pipe=args.augpipe, ada_target=args.target,
+        aug_p=args.p, remat=args.remat if args.remat else False)
+
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        mesh = pmesh.get_mesh(args.n_devices)
+        assert args.batch % args.n_devices == 0, \
+            '--batch must divide --n_devices'
+
+    state = None
+    if g_params is not None:
+        fns = train.make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
+        state = fns.state_from_params(g_params, d_params)
+
+    gamma_eff = gamma if gamma is not None else \
+        0.0002 * args.resolution ** 2 / args.batch
+    print(f'[train_sg2] res={args.resolution} ch={img_channels} '
+          f'c_dim={c_dim} batch={args.batch} aug={args.aug} '
+          f'gamma={gamma_eff:g} mesh={args.n_devices or 1} '
+          f'outdir={args.outdir}')
+    train.train_loop(g_cfg, d_cfg, data_iter, cfg, total_kimg=args.kimg,
+                     run_dir=args.outdir, mesh=mesh, seed=args.seed,
+                     snapshot_kimg=args.snap, state=state)
+    print('[train_sg2] done')
+
+
+if __name__ == '__main__':
+    main()

@@ -802,3 +802,60 @@ def reference_walk_oracle(G, D, vgg_params, w0, *, num_epochs, opt_lr,
         else w_opt
     ws_aug = w_aug.repeat([1, num_ws, 1])
     return history, w_aug.detach(), ws_aug.detach()
+
+
+# ----------------------------------------------------------------------------
+# StyleGAN2(-ADA) training-phase objectives, restated in torch.
+#
+# The reference consumes checkpoints trained by NVIDIA's external
+# stylegan2-ada trainer (reference README.md:55-59); these oracles restate
+# the published phase losses (Karras et al. 2019 sec. 3/appendix B;
+# 2020 ADA) so models/stylegan2/train.py can be value- AND grad-parity
+# tested through the pickle converter. Parity regime: noise_mode='const',
+# no style mixing, no augmentation (all randomness injected explicitly).
+
+def sg2_g_main_torch(g, d, z):
+    """Non-saturating logistic G loss. Returns the torch scalar (caller
+    backprops/steps)."""
+    img = g(z, noise_mode="const")
+    logits = d(img)
+    return F.softplus(-logits).mean()
+
+
+def sg2_g_pl_torch(g, z, pl_noise, pl_mean, pl_weight=2.0, pl_decay=0.01,
+                   g_reg_interval=4):
+    """Path-length regularization: grad of <img, pl_noise> w.r.t. ws,
+    EMA'd target, squared deviation (lazy interval folded in).
+    Returns (loss, new_pl_mean, pl_lengths)."""
+    ws = g.mapping(z)
+    img = g.synthesis(ws, noise_mode="const")
+    pl_noise = torch.as_tensor(np.asarray(pl_noise), dtype=torch.float32)
+    (pl_grads,) = torch.autograd.grad(
+        outputs=(img * pl_noise).sum(), inputs=ws, create_graph=True)
+    pl_lengths = pl_grads.square().sum(2).mean(1).sqrt()
+    new_pl_mean = pl_mean + pl_decay * (pl_lengths.mean() - pl_mean)
+    pl_penalty = (pl_lengths - new_pl_mean.detach()).square()
+    loss = pl_penalty.mean() * pl_weight * g_reg_interval
+    return loss, new_pl_mean, pl_lengths
+
+
+def sg2_d_main_torch(g, d, z, real):
+    """D logistic loss on fake + real. Returns (loss, gen, real, rt)."""
+    gen_logits = d(g(z, noise_mode="const"))
+    real_logits = d(real)
+    loss_gen = F.softplus(gen_logits).mean()
+    loss_real = F.softplus(-real_logits).mean()
+    rt = torch.sign(real_logits).mean()
+    return loss_gen + loss_real, loss_gen, loss_real, rt
+
+
+def sg2_d_r1_torch(d, real, r1_gamma, d_reg_interval=16):
+    """R1 gradient penalty on reals (lazy interval + gamma/2 folded in).
+    Returns (loss, penalty_mean)."""
+    real = real.detach().requires_grad_(True)
+    logits = d(real)
+    (r1_grads,) = torch.autograd.grad(
+        outputs=logits.sum(), inputs=real, create_graph=True)
+    penalty = r1_grads.square().sum([1, 2, 3])
+    loss = penalty.mean() * (r1_gamma / 2.0) * d_reg_interval
+    return loss, penalty.mean()
