@@ -335,12 +335,16 @@ def ema_beta(cfg, cur_nimg):
 
 def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
                run_dir=None, mesh=None, seed=0, snapshot_kimg=50,
-               log_every=10, callbacks=None, state=None):
+               log_every=10, callbacks=None, state=None, on_snapshot=None):
     """Drive the phase schedule. `data_iter` yields (real_imgs [B,C,H,W]
     float32 in [-1,1], labels [B,c_dim] or None) on host.
 
     Returns the final state. Writes log.jsonl + native checkpoints
     (consumable by the policy engine and the projector) to run_dir.
+    `on_snapshot(path, state, cur_nimg)` fires after each checkpoint is
+    written — the hook the snapshot-time metric evaluation rides (the
+    torch trainer computes its --metrics there, training_loop.py of
+    stylegan2-ada; reference defers training entirely, README.md:55-59).
     """
     cfg = EasyDict(cfg)
     fns = make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
@@ -412,7 +416,9 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
         if run_dir and snapshot_kimg and \
                 (cur_nimg % int(snapshot_kimg * 1000) < cfg.batch_size
                  or cur_nimg >= total_kimg * 1000):
-            save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg)
+            snap_path = save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg)
+            if on_snapshot is not None:
+                on_snapshot(snap_path, state, cur_nimg)
     return state
 
 

@@ -57,6 +57,12 @@ def parse_args(argv=None):
                    help='num highest-res blocks in bf16 (0 = fp32)')
     p.add_argument('--remat', type=int, default=0,
                    help='checkpoint blocks with res >= this (0 = off)')
+    p.add_argument('--metrics', default='none',
+                   help='comma list of snapshot-time metrics '
+                        '(fid50k_full,pr50k3_full) or "none". NVIDIA\'s '
+                        'trainer defaults to fid50k_full; default is none '
+                        'here because each evaluation costs ~50k generator '
+                        'samples. Requires --data (real statistics).')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', default=None,
                    help='native checkpoint to resume G/D from')
@@ -179,6 +185,41 @@ def main(argv=None):
         fns = train.make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
         state = fns.state_from_params(g_params, d_params)
 
+    # Snapshot-time metric evaluation (the torch trainer's --metrics:
+    # every snapshot is scored against the real dataset and appended to
+    # metric-<mode>-<metric>.jsonl in the run dir).
+    on_snapshot = None
+    metric_names = [m for m in args.metrics.split(',')
+                    if m and m != 'none']
+    if metric_names:
+        if not args.data:
+            print('[train_sg2] --metrics needs --data for real-image '
+                  'statistics; skipping snapshot metrics')
+        else:
+            from latentaugment_tpu.metrics import \
+                metric_main_mi_multimodal as metric_main
+            for m in metric_names:
+                assert metric_main.is_valid_metric(m), \
+                    (m, metric_main.list_valid_metrics())
+            modalities = args.modalities.split(',')
+            dataset_kwargs = dict(
+                path=args.data, split=args.split, modalities=modalities,
+                resolution=args.resolution)
+
+            def on_snapshot(path, snap_state, cur_nimg):
+                g_host = jax.tree_util.tree_map(np.asarray,
+                                                snap_state['g_ema'])
+                for mode_idx, mode in enumerate(modalities):
+                    for m in metric_names:
+                        res = metric_main.calc_metric(
+                            m, G=(g_host, g_cfg),
+                            dataset_kwargs=dataset_kwargs,
+                            mode_dict=dict(mode_name=mode,
+                                           mode_idx=mode_idx))
+                        metric_main.report_metric(
+                            res, mode=mode, run_dir=args.outdir,
+                            snapshot_pkl=path)
+
     gamma_eff = gamma if gamma is not None else \
         0.0002 * args.resolution ** 2 / args.batch
     print(f'[train_sg2] res={args.resolution} ch={img_channels} '
@@ -187,7 +228,8 @@ def main(argv=None):
           f'outdir={args.outdir}')
     train.train_loop(g_cfg, d_cfg, data_iter, cfg, total_kimg=args.kimg,
                      run_dir=args.outdir, mesh=mesh, seed=args.seed,
-                     snapshot_kimg=args.snap, state=state)
+                     snapshot_kimg=args.snap, state=state,
+                     on_snapshot=on_snapshot)
     print('[train_sg2] done')
 
 

@@ -433,3 +433,92 @@ def test_train_loop_snapshot_consumable(tmp_path):
     # log.jsonl carries the phase losses.
     log = (tmp_path / 'log.jsonl').read_text().strip().splitlines()
     assert 'Loss/G/loss' in log[-1] and 'Loss/D/real' in log[-1]
+
+
+def test_train_loop_on_snapshot_hook(tmp_path):
+    """on_snapshot fires once per written checkpoint with its real path —
+    the hook snapshot-time metric evaluation rides (scripts/train_sg2.py
+    --metrics)."""
+    import os
+
+    # Same shapes/cfg as test_train_loop_snapshot_consumable so the
+    # in-process jit cache is reused.
+    g_cfg = networks.generator_config(
+        z_dim=32, w_dim=32, img_resolution=16, img_channels=2,
+        channel_base=512, channel_max=32, num_mapping_layers=2,
+        num_fp16_res=0)
+    d_cfg = networks.discriminator_config(
+        img_resolution=16, img_channels=2, channel_base=512,
+        channel_max=32, num_fp16_res=0)
+    cfg = train.train_config(batch_size=4, aug='ada', aug_pipe='bgc',
+                             ada_interval=1, ada_kimg=0.01,
+                             noise_mode='random')
+
+    def data_iter():
+        rng = np.random.RandomState(0)
+        while True:
+            yield rng.rand(4, 2, 16, 16).astype(np.float32) * 2 - 1, None
+
+    calls = []
+    train.train_loop(
+        g_cfg, d_cfg, data_iter(), cfg, total_kimg=0.012,
+        run_dir=str(tmp_path), snapshot_kimg=0.012, log_every=1,
+        on_snapshot=lambda path, state, nimg: calls.append((path, nimg)))
+    assert calls, 'on_snapshot never fired'
+    for path, nimg in calls:
+        assert os.path.exists(path)
+        assert nimg > 0
+
+
+@pytest.mark.slow
+def test_train_sg2_snapshot_metrics(tmp_path, monkeypatch):
+    """scripts/train_sg2.py --metrics scores each snapshot against the
+    real dataset zip through the live-generator FID path and appends
+    metric-<mode>-<metric>.jsonl per modality (the torch trainer's
+    snapshot-metric protocol)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from synthetic import build_workspace
+
+    monkeypatch.setenv('LATENTAUGMENT_CACHE_DIR',
+                       str(tmp_path / 'det_cache'))
+    ws = build_workspace(tmp_path)
+
+    from latentaugment_tpu.metrics import (
+        frechet_inception_distance as fid_mod,
+        metric_main_mi_multimodal as mm,
+    )
+    if not mm.is_valid_metric('fid_tiny_test'):
+        @mm.register_metric
+        def fid_tiny_test(opts):
+            return dict(fid_tiny_test=fid_mod.compute_fid(
+                opts, max_real=16, num_gen=8))
+
+    spec = importlib.util.spec_from_file_location(
+        'train_sg2_mod', os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            'scripts', 'train_sg2.py'))
+    train_sg2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_sg2)
+
+    run_dir = str(tmp_path / 'run')
+    train_sg2.main([
+        '--cpu', '--data', ws['img_zip'], '--outdir', run_dir,
+        '--resolution', '32', '--batch', '4', '--kimg', '0.008',
+        '--snap', '0.008', '--metrics', 'fid_tiny_test',
+        '--channel_base', '512', '--channel_max', '32',
+        '--fp16_res', '0', '--aug', 'noaug'])
+
+    files = sorted(
+        f for f in os.listdir(run_dir)
+        if f.startswith('metric-') and f.endswith('fid_tiny_test.jsonl'))
+    assert files == ['metric-MR_MR_T2-fid_tiny_test.jsonl',
+                     'metric-MR_nonrigid_CT-fid_tiny_test.jsonl'], files
+    for f in files:
+        row = json.loads(open(os.path.join(run_dir, f)).read()
+                         .strip().splitlines()[-1])
+        assert np.isfinite(row['results']['fid_tiny_test'])
+        assert row['snapshot_pkl'].startswith('network-snapshot-')
