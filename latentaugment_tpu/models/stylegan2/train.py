@@ -92,6 +92,11 @@ def train_config(**overrides):
         aug_p=0.0,                # initial (or fixed) augmentation p
         noise_mode='random',
         remat=False,
+        r1_chunks=1,              # sequential half-batches inside d_reg:
+                                  # R1's double-backprop temps dominate HBM
+                                  # at 256² (512 MB single temps at b32 —
+                                  # compile-time OOM on a 16 GB chip);
+                                  # chunk-mean of losses/grads is exact.
     )
     cfg.update(overrides)
     return cfg
@@ -274,12 +279,42 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
                        'Progress/rt': rt}
 
     # ---- phase: D R1 regularization -----------------------------------------
+    def r1_value_and_grads(dp, aug_real, c):
+        """(loss, penalty), grads of the R1 term — in cfg.r1_chunks
+        sequential sub-batches when >1: bounds the double-backprop's
+        peak HBM to one chunk's temps; with equal chunks the chunk-mean
+        of losses/penalties/grads equals the full-batch values (up to
+        fp32 reduction order). One caveat: minibatch-stddev couples
+        samples through strided cross-batch groups, so chunking
+        recomposes those groups — the same class of stochasticity as
+        shuffling the batch order (group membership is a data-order
+        artifact), not a change to the R1 objective."""
+        n_chunks = int(cfg.get('r1_chunks', 1) or 1)
+        if n_chunks > 1 and aug_real.shape[0] % n_chunks == 0:
+            xs = aug_real.reshape(n_chunks, aug_real.shape[0] // n_chunks,
+                                  *aug_real.shape[1:])
+            if c is None:
+                def chunk(x):
+                    return jax.value_and_grad(
+                        loss_d_r1, has_aux=True)(dp, x, None)
+                (losses, penalties), grads = jax.lax.map(chunk, xs)
+            else:
+                cs = c.reshape(n_chunks, c.shape[0] // n_chunks,
+                               *c.shape[1:])
+                def chunk(args):
+                    x, cc = args
+                    return jax.value_and_grad(
+                        loss_d_r1, has_aux=True)(dp, x, cc)
+                (losses, penalties), grads = jax.lax.map(chunk, (xs, cs))
+            return (jnp.mean(losses), jnp.mean(penalties)), \
+                jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
+        return jax.value_and_grad(loss_d_r1, has_aux=True)(dp, aug_real, c)
+
     def d_reg(state, real, c, key, p):
         # R1 penalizes D's gradient w.r.t. the image D actually sees —
         # the AUGMENTED real (augmentation outside the penalty grad).
         aug_real = _maybe_aug(real, key, p)
-        (loss, penalty), grads = jax.value_and_grad(
-            loss_d_r1, has_aux=True)(state['d'], aug_real, c)
+        (loss, penalty), grads = r1_value_and_grads(state['d'], aug_real, c)
         updates, new_opt = opt_d.update(grads, state['opt_d'], state['d'])
         d = optax.apply_updates(state['d'], updates)
         state = dict(state, d=d, opt_d=new_opt)
@@ -295,17 +330,22 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
 
     def state_from_params(g_params, d_params, pl_mean=0.0):
         """State around pre-existing (e.g. converted-from-torch) params —
-        used by resume paths and the oracle parity tests."""
+        used by resume paths and the oracle parity tests. Params are
+        COPIED in: the phase steps donate the state's buffers, which
+        must never consume arrays the caller still holds."""
+        g = jax.tree_util.tree_map(jnp.copy, g_params)
+        d = jax.tree_util.tree_map(jnp.copy, d_params)
         return {
-            'g': g_params, 'd': d_params,
-            'g_ema': jax.tree_util.tree_map(jnp.copy, g_params),
-            'opt_g': opt_g.init(g_params), 'opt_d': opt_d.init(d_params),
+            'g': g, 'd': d,
+            'g_ema': jax.tree_util.tree_map(jnp.copy, g),
+            'opt_g': opt_g.init(g), 'opt_d': opt_d.init(d),
             'pl_mean': jnp.float32(pl_mean)}
 
     fns = EasyDict(init_state=init_state, cfg=cfg,
                    state_from_params=state_from_params,
                    loss_g_main=loss_g_main, loss_g_pl=loss_g_pl,
-                   loss_d_main=loss_d_main, loss_d_r1=loss_d_r1)
+                   loss_d_main=loss_d_main, loss_d_r1=loss_d_r1,
+                   r1_value_and_grads=r1_value_and_grads)
     if mesh is not None:
         from ...parallel import mesh as pmesh
         from ...ops.upfirdn2d import set_allow_pallas_blur
@@ -315,11 +355,19 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         fns.shard_batch = lambda x: jax.device_put(x, batch)
         fns.replicate = lambda tree: jax.device_put(
             tree, jax.tree_util.tree_map(lambda _: repl, tree))
-    fns.g_main = jax.jit(g_main)
-    fns.g_reg = jax.jit(g_reg)
-    fns.d_main = jax.jit(d_main)
-    fns.d_reg = jax.jit(d_reg)
-    fns.ema = jax.jit(ema)
+    # The input state is DONATED: its buffers are reused for the output
+    # state (saves ~one full state copy of HBM per phase call — params,
+    # EMA and both Adam moments; material at 256² where activations
+    # already crowd the 16 GB chip). Donation is honored on CPU too:
+    # callers must rebind (`state, _ = fns.g_main(state, ...)`) and must
+    # not hold outside references into the state tree — init_state and
+    # state_from_params hand out freshly-copied buffers for exactly
+    # this reason.
+    fns.g_main = jax.jit(g_main, donate_argnums=0)
+    fns.g_reg = jax.jit(g_reg, donate_argnums=0)
+    fns.d_main = jax.jit(d_main, donate_argnums=0)
+    fns.d_reg = jax.jit(d_reg, donate_argnums=0)
+    fns.ema = jax.jit(ema, donate_argnums=0)
     return fns
 
 

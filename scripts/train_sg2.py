@@ -15,6 +15,13 @@ suite, making the whole LatentAugment workflow self-contained:
 Flag names mirror NVIDIA's train.py surface (gamma/kimg/snap/aug/p/
 target/augpipe/mirror/resume) so migrating a training recipe is a
 rename-free copy; see MIGRATION.md.
+
+TPU operating point (measured, BENCH_NOTES.md round 3): 256² runs at
+**batch 32 with --r1_chunks 2** — 1.25 s/step, 25.5 imgs/s, 39 s/kimg
+on one v5e chip. Batches 8 and 16 CRASH the TPU worker in the G
+parameter-gradient phases (backend kernel fault, mapped per-program;
+forward-only and input-gradient paths are unaffected), and unchunked
+R1 at b32 exceeds 16 GB HBM at compile time.
 """
 
 import argparse
@@ -57,6 +64,10 @@ def parse_args(argv=None):
                    help='num highest-res blocks in bf16 (0 = fp32)')
     p.add_argument('--remat', type=int, default=0,
                    help='checkpoint blocks with res >= this (0 = off)')
+    p.add_argument('--r1_chunks', type=int, default=1,
+                   help='compute R1 in N sequential sub-batches (exact; '
+                        'bounds the double-backprop HBM peak — use 2 at '
+                        '256 res batch 32 on a 16 GB chip)')
     p.add_argument('--metrics', default='none',
                    help='comma list of snapshot-time metrics '
                         '(fid50k_full,pr50k3_full) or "none". NVIDIA\'s '
@@ -172,7 +183,8 @@ def main(argv=None):
     cfg = train.train_config(
         batch_size=args.batch, lr=args.lr, r1_gamma=gamma,
         aug=args.aug, aug_pipe=args.augpipe, ada_target=args.target,
-        aug_p=args.p, remat=args.remat if args.remat else False)
+        aug_p=args.p, remat=args.remat if args.remat else False,
+        r1_chunks=args.r1_chunks)
 
     mesh = None
     if args.n_devices and args.n_devices > 1:
@@ -215,7 +227,8 @@ def main(argv=None):
                             m, G=(g_host, g_cfg),
                             dataset_kwargs=dataset_kwargs,
                             mode_dict=dict(mode_name=mode,
-                                           mode_idx=mode_idx))
+                                           mode_idx=mode_idx),
+                            mesh=mesh)
                         metric_main.report_metric(
                             res, mode=mode, run_dir=args.outdir,
                             snapshot_pkl=path)

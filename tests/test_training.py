@@ -522,3 +522,38 @@ def test_train_sg2_snapshot_metrics(tmp_path, monkeypatch):
                          .strip().splitlines()[-1])
         assert np.isfinite(row['results']['fid_tiny_test'])
         assert row['snapshot_pkl'].startswith('network-snapshot-')
+
+
+def test_d_reg_r1_chunks_exact(setup):
+    """r1_chunks=N computes the SAME R1 loss/penalty/gradients as the
+    unchunked path (equal chunks -> chunk-mean of losses and grads is
+    the full-batch mean, up to fp32 reduction order); it only bounds
+    the double-backprop's peak memory. mbstd_group_size=1 here: with
+    groups >1, minibatch-stddev couples samples through strided
+    cross-batch groups that chunking recomposes (a data-order artifact,
+    not an objective change — documented in r1_value_and_grads).
+    Gradients, not post-Adam params, are compared: Adam's first step is
+    ~lr*sign(grad), which amplifies reduction-order noise on near-zero
+    gradients to full lr flips."""
+    _, _, gp, g_cfg, dp, d_cfg, z, real = setup
+    d_cfg = type(d_cfg)(dict(d_cfg), mbstd_group_size=1)
+    outs = []
+    for chunks in (1, 2):
+        fns = train.make_train_fns(g_cfg, d_cfg,
+                                   _cfg(aug='noaug', r1_chunks=chunks))
+        state = fns.state_from_params(gp, dp)
+        (loss, penalty), grads = fns.r1_value_and_grads(
+            state['d'], jnp.asarray(real), None)
+        outs.append((float(loss), float(penalty), grads))
+    (l1, p1, grads1), (l2, p2, grads2) = outs
+    np.testing.assert_allclose(l1, l2, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=1e-6)
+    scale = max(float(jnp.max(jnp.abs(leaf)))
+                for leaf in jax.tree_util.tree_leaves(grads1))
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads1),
+            jax.tree_util.tree_leaves_with_path(grads2)):
+        assert k1 == k2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5 * scale,
+                                   err_msg=str(k1))
