@@ -39,9 +39,10 @@ from ..utils import util_general, util_path
 from ..utils.util_easydict import EasyDict
 from . import losses, manifold
 
-ADAM_B1 = 0.9
-ADAM_B2 = 0.999
-ADAM_EPS = 1e-8
+from ..ops.adam import ADAM_B1, ADAM_B2, ADAM_EPS  # noqa: F401
+from ..ops.adam import adam_step as _adam_update
+# (re-exported: the walk's Adam hyperparameters are part of this
+# module's public surface)
 
 
 def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
@@ -197,11 +198,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         unconditional."""
         w, m, v = carry
         g, aux = grad_fn(w, bundle, crop_pos, c)
-        m = ADAM_B1 * m + (1 - ADAM_B1) * g
-        v = ADAM_B2 * v + (1 - ADAM_B2) * jnp.square(g)
-        m_hat = m / (1 - ADAM_B1 ** (t + 1))
-        v_hat = v / (1 - ADAM_B2 ** (t + 1))
-        w = w - opt_lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+        w, m, v = _adam_update(w, m, v, g, t, opt_lr)
         return (w, m, v), aux
 
     def finish(bundle, w0, w_opt, synth_key):
@@ -256,6 +253,36 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                     synthesize=synthesize, loss_fn=loss_fn, synth=synth,
                     terms=terms, adam_step=adam_step, finish=finish,
                     num_epochs=num_epochs)
+
+
+
+def resolve_stylegan_path(model_dir, dataset, dataset_name, modalities,
+                          exp_stylegan, network_pkl):
+    """Reference checkpoint-path convention (util_latent_aug.py:466-484):
+    model_dir/<dataset>/training-runs/<dataset_name>/<modalities>/<exp>/
+    <network_pkl>, with a fallback that lets model_dir point directly at
+    a checkpoint file or its containing directory. Shared by the engine
+    and the pipeline's --project stage."""
+    dir_model = os.path.join(
+        model_dir, dataset, "training-runs", dataset_name,
+        util_general.parse_separated_list_comma(modalities))
+    if os.path.isdir(dir_model):
+        exp_name = [x for x in os.listdir(dir_model) if exp_stylegan in x]
+        assert len(exp_name) == 1, f"ambiguous experiment under {dir_model}"
+        return os.path.join(dir_model, exp_name[0], network_pkl)
+    return (model_dir if os.path.isfile(model_dir)
+            else os.path.join(model_dir, network_pkl))
+
+
+def resolve_vgg_path(model_dir):
+    """LPIPS VGG16 checkpoint: LATENTAUGMENT_VGG16 env var, else
+    model_dir/vgg16_lpips.pkl if present, else None (seeded random
+    init — fine for smoke, loudly non-reference for quality)."""
+    path = os.environ.get("LATENTAUGMENT_VGG16")
+    if path:
+        return path
+    default = os.path.join(model_dir, "vgg16_lpips.pkl") if model_dir else None
+    return default if default and os.path.isfile(default) else None
 
 
 class LatentAugEngine:
@@ -414,26 +441,14 @@ class LatentAugEngine:
         return r
 
     def _vgg_ckpt_path(self):
-        path = os.environ.get("LATENTAUGMENT_VGG16")
-        if path:
-            return path
-        default = os.path.join(self.model_dir, "vgg16_lpips.pkl") if self.model_dir else None
-        return default if default and os.path.isfile(default) else None
+        return resolve_vgg_path(self.model_dir)
 
     def load_stylegan(self):
         """Resolve the checkpoint path exactly like the reference
         (util_latent_aug.py:466-484) and ingest it safely (convert.py)."""
-        dir_model = os.path.join(
-            self.model_dir, self.dataset, "training-runs", self.dataset_name,
-            util_general.parse_separated_list_comma(self.modalities))
-        if os.path.isdir(dir_model):
-            exp_name = [x for x in os.listdir(dir_model) if self.exp_stylegan in x]
-            assert len(exp_name) == 1, f"ambiguous experiment under {dir_model}"
-            path = os.path.join(dir_model, exp_name[0], self.network_pkl_stylegan)
-        else:
-            # Allow pointing model_dir directly at a checkpoint file.
-            path = (self.model_dir if os.path.isfile(self.model_dir)
-                    else os.path.join(self.model_dir, self.network_pkl_stylegan))
+        path = resolve_stylegan_path(
+            self.model_dir, self.dataset, self.dataset_name,
+            self.modalities, self.exp_stylegan, self.network_pkl_stylegan)
         print(f'Loading stylegan from "{path}"...')
         g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(
             path, img_resolution=self.res, img_channels=len(self.modalities))

@@ -41,9 +41,7 @@ from jax import lax
 from . import networks
 from .. import vgg
 
-ADAM_B1 = 0.9
-ADAM_B2 = 0.999
-ADAM_EPS = 1e-8
+from ...ops.adam import adam_step
 
 
 def w_stats(mapping_params, g_cfg, key, n_samples=10000):
@@ -135,11 +133,7 @@ def make_project_fn(g_cfg, num_steps=1000, initial_lr=0.1,
             lr_ramp = lr_ramp * jnp.minimum(1.0, t_frac / lr_rampup_length)
             lr = initial_lr * lr_ramp
             dist, g = grad_fn(w, nk, t_frac)
-            m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
-            v = ADAM_B2 * v + (1.0 - ADAM_B2) * jnp.square(g)
-            m_hat = m / (1.0 - jnp.power(ADAM_B1, t + 1.0))
-            v_hat = v / (1.0 - jnp.power(ADAM_B2, t + 1.0))
-            w = w - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+            w, m, v = adam_step(w, m, v, g, t, lr)
             return (w, m, v), dist
 
         init = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0))

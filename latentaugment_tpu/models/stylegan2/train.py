@@ -58,12 +58,23 @@ from . import networks
 from .ada import AdaController, apply_ada, pipe_config
 from ...utils.util_easydict import EasyDict
 
-_BUFFER_NAMES = ('w_avg', 'resample_filter')
+_BUFFER_NAMES = ('w_avg', 'resample_filter', 'noise_const')
 
 
 def _is_buffer(path):
     return any(str(getattr(p, 'key', getattr(p, 'name', p)))
                in _BUFFER_NAMES for p in path)
+
+
+def _freeze_buffer_grads(grads):
+    """Zero gradients on torch-buffer leaves. The torch trainer never
+    optimizes w_avg (updated by its own EMA), resample_filter (fixed
+    FIR taps — Adam drift here silently deforms the blur kernels and
+    thus the architecture) or noise_const (per-layer noise images);
+    the autodiff param tree carries them, so mask them out of every
+    optimizer step."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.zeros_like(g) if _is_buffer(path) else g, grads)
 
 
 def train_config(**overrides):
@@ -245,6 +256,7 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         (loss, w_mean), grads = jax.value_and_grad(
             loss_g_main, has_aux=True)(
                 state['g'], state['d'], z, z2, c, k_mix, k_noise, k_aug, p)
+        grads = _freeze_buffer_grads(grads)
         updates, new_opt = opt_g.update(grads, state['opt_g'], state['g'])
         g = optax.apply_updates(state['g'], updates)
         g = _update_w_avg(g, jax.lax.stop_gradient(w_mean))
@@ -259,6 +271,7 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         (loss, (new_pl_mean, _)), grads = jax.value_and_grad(
             loss_g_pl, has_aux=True)(
                 state['g'], state['pl_mean'], z, z2, c, k_mix, k_noise, k_pl)
+        grads = _freeze_buffer_grads(grads)
         updates, new_opt = opt_g.update(grads, state['opt_g'], state['g'])
         g = optax.apply_updates(state['g'], updates)
         state = dict(state, g=g, opt_g=new_opt,
@@ -272,6 +285,7 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
             loss_d_main, has_aux=True)(
                 state['d'], state['g'], real, z, z2, c, k_mix, k_noise,
                 k_aug_f, k_aug_r, p)
+        grads = _freeze_buffer_grads(grads)
         updates, new_opt = opt_d.update(grads, state['opt_d'], state['d'])
         d = optax.apply_updates(state['d'], updates)
         state = dict(state, d=d, opt_d=new_opt)
@@ -290,7 +304,14 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         shuffling the batch order (group membership is a data-order
         artifact), not a change to the R1 objective."""
         n_chunks = int(cfg.get('r1_chunks', 1) or 1)
-        if n_chunks > 1 and aug_real.shape[0] % n_chunks == 0:
+        if n_chunks > 1 and aug_real.shape[0] % n_chunks != 0:
+            # Falling back to the unchunked path here would silently
+            # reintroduce the compile-time HBM OOM the flag exists to
+            # avoid (256² b32 — see module notes).
+            raise ValueError(
+                f"r1_chunks={n_chunks} must divide the R1 batch "
+                f"{aug_real.shape[0]}")
+        if n_chunks > 1:
             xs = aug_real.reshape(n_chunks, aug_real.shape[0] // n_chunks,
                                   *aug_real.shape[1:])
             if c is None:
@@ -315,6 +336,7 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         # the AUGMENTED real (augmentation outside the penalty grad).
         aug_real = _maybe_aug(real, key, p)
         (loss, penalty), grads = r1_value_and_grads(state['d'], aug_real, c)
+        grads = _freeze_buffer_grads(grads)
         updates, new_opt = opt_d.update(grads, state['opt_d'], state['d'])
         d = optax.apply_updates(state['d'], updates)
         state = dict(state, d=d, opt_d=new_opt)
@@ -371,6 +393,39 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
     return fns
 
 
+
+class _PrefetchError:
+    def __init__(self, exc):
+        self.exc = exc
+
+
+def prefetch_iter(it, depth=2):
+    """Run `it` on a background daemon thread, keeping up to `depth`
+    batches ready. The measured TPU loop spends ~2 s/step reading and
+    normalizing 32 pickles synchronously while the device sits idle
+    (BENCH_NOTES.md round 3) — overlapping host IO with the 1.25 s
+    device step recovers most of it. Exceptions re-raise at the
+    consuming end."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # surface, don't hang the consumer
+            q.put(_PrefetchError(e))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        yield item
+
+
 def ema_beta(cfg, cur_nimg):
     """Per-step EMA decay: half-life ema_kimg kimg, with the torch
     trainer's startup ramp (ema_rampup limits the half-life to a
@@ -396,6 +451,7 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
     """
     cfg = EasyDict(cfg)
     fns = make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
+    data_iter = prefetch_iter(data_iter, depth=2)
     key = jax.random.PRNGKey(seed)
     if state is None:
         key, k_init = jax.random.split(key)
@@ -458,11 +514,19 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
             if log_path:
                 with open(log_path, 'a') as f:
                     f.write(json.dumps(row) + '\n')
+            # Each row reports only phases that ran since the last row;
+            # without this, a reg loss from up to d_reg_interval steps
+            # ago would be re-emitted as if current. rt stays: the ADA
+            # controller reads it every step.
+            logs_acc = {'Progress/rt': logs_acc['Progress/rt']} \
+                if 'Progress/rt' in logs_acc else {}
         if callbacks:
             for cb in callbacks:
                 cb(step, cur_nimg, state, p)
-        if run_dir and snapshot_kimg and \
-                (cur_nimg % int(snapshot_kimg * 1000) < cfg.batch_size
+        snap_interval = max(int(snapshot_kimg * 1000), cfg.batch_size) \
+            if snapshot_kimg else 0
+        if run_dir and snap_interval and \
+                (cur_nimg % snap_interval < cfg.batch_size
                  or cur_nimg >= total_kimg * 1000):
             snap_path = save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg)
             if on_snapshot is not None:

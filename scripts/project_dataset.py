@@ -91,7 +91,15 @@ def main(argv=None):
         args.checkpoint, img_resolution=args.resolution,
         img_channels=len(modalities))
     g_cfg.num_fp16_res = 0 if args.resolution < 64 else args.num_fp16_res
-    vgg_params = vgg.get_vgg16(path=args.vgg)
+    # Same resolution chain as the walk engine: explicit --vgg, else
+    # LATENTAUGMENT_VGG16, else seeded random features (loud warning —
+    # inversion would then optimize a different perceptual space than
+    # the policy's LPIPS terms score).
+    vgg_path = args.vgg or os.environ.get("LATENTAUGMENT_VGG16")
+    if not vgg_path:
+        print("[project] WARNING: no --vgg / LATENTAUGMENT_VGG16 — "
+              "using seeded random VGG features (smoke only)")
+    vgg_params = vgg.get_vgg16(path=vgg_path)
 
     dataset = manifold.ImgDataset(args.data_zip, split=args.split,
                                   modalities=modalities,

@@ -83,9 +83,22 @@ def main(argv=None):
     # in place of the reference's external-NVIDIA-projector prerequisite.
     if do_project:
         from scripts.project_dataset import main as project_main
+        from latentaugment_tpu.augments.engine import (
+            resolve_stylegan_path, resolve_vgg_path)
+        from latentaugment_tpu.utils import util_general
 
         data_zip = os.path.join(opt.interim_dir, opt.dataset_aug,
                                 opt.dataset_name_aug + ".zip")
+        # model_dir may be the training-runs ROOT (the engine's normal
+        # layout) — resolve to the concrete checkpoint file the same way
+        # the engine does, and hand the projector the engine's LPIPS
+        # VGG so inversion optimizes the same perceptual space the walk
+        # scores (a random-init VGG would silently degrade every seed w).
+        ckpt_path = resolve_stylegan_path(
+            opt.model_dir, opt.dataset_aug, opt.dataset_name_aug,
+            util_general.parse_comma_separated_list(opt.modalities_aug),
+            opt.exp_stylegan, opt.network_pkl_stylegan)
+        vgg_path = resolve_vgg_path(opt.model_dir)
         proj_w_name = opt.dataset_w_name + "-projected"
         dest_zip = os.path.join(opt.interim_dir, opt.dataset_aug,
                                 proj_w_name + ".zip")
@@ -96,7 +109,7 @@ def main(argv=None):
         print(f"[pipeline] projecting {data_zip} -> {dest_zip} "
               f"({project_steps} steps, batch {project_batch})")
         project_main([
-            "--checkpoint", opt.model_dir, "--data_zip", data_zip,
+            "--checkpoint", ckpt_path, "--data_zip", data_zip,
             "--split", opt.phase, "--modalities", opt.modalities_aug,
             "--resolution", str(opt.img_resolution),
             "--num_steps", str(project_steps),
@@ -104,7 +117,7 @@ def main(argv=None):
             "--w_avg_samples", "256" if synthetic else "10000",
             "--outdir", os.path.join(outdir, "temp-projector"),
             "--dest_zip", dest_zip,
-        ])
+        ] + (["--vgg", vgg_path] if vgg_path else []))
         opt.dataset_w_name = proj_w_name  # engine reads interim/<ds>/<name>.zip
 
     # ---- Stage 1: augment + dump -------------------------------------

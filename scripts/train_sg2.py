@@ -17,7 +17,7 @@ target/augpipe/mirror/resume) so migrating a training recipe is a
 rename-free copy; see MIGRATION.md.
 
 TPU operating point (measured, BENCH_NOTES.md round 3): 256² runs at
-**batch 32 with --r1_chunks 2** — 1.25 s/step, 25.5 imgs/s, 39 s/kimg
+**batch 32 with --r1_chunks 2** — 1.14 s/step, 28.1 imgs/s, 35.6 s/kimg
 on one v5e chip. Batches 8 and 16 CRASH the TPU worker in the G
 parameter-gradient phases (backend kernel fault, mapped per-program;
 forward-only and input-gradient paths are unaffected), and unchunked
@@ -190,7 +190,7 @@ def main(argv=None):
     if args.n_devices and args.n_devices > 1:
         mesh = pmesh.get_mesh(args.n_devices)
         assert args.batch % args.n_devices == 0, \
-            '--batch must divide --n_devices'
+            '--n_devices must divide --batch'
 
     state = None
     if g_params is not None:

@@ -206,3 +206,45 @@ def test_debug_walk_matches_fused_walk(ws):
     # lr = 0.01; allow a few sign flips of dead coords over 3 steps.
     assert np.abs(np.asarray(ws_dbg) - np.asarray(ws_fast)).max() < 0.05
     assert np.abs(np.asarray(img_dbg) - np.asarray(img_fast)).mean() < 0.02
+
+
+def test_resolve_stylegan_and_vgg_paths(tmp_path, monkeypatch):
+    """The shared resolvers (engine + pipeline --project stage): the
+    reference training-runs layout, a direct checkpoint file, a
+    directory + pkl name, and the VGG env/model_dir fallbacks."""
+    import os
+
+    from latentaugment_tpu.augments.engine import (
+        resolve_stylegan_path, resolve_vgg_path)
+
+    # training-runs layout
+    exp_dir = tmp_path / 'Pelvis' / 'training-runs' / 'Pelvis-img' / \
+        'MR_nonrigid_CT,MR_MR_T2' / '00000-exp-A'
+    exp_dir.mkdir(parents=True)
+    (exp_dir / 'net.pkl').write_bytes(b'x')
+    got = resolve_stylegan_path(
+        str(tmp_path), 'Pelvis', 'Pelvis-img',
+        ['MR_nonrigid_CT', 'MR_MR_T2'], 'exp-A', 'net.pkl')
+    assert got == str(exp_dir / 'net.pkl')
+
+    # direct file (the pipeline's synthetic/model_dir-is-a-checkpoint case)
+    ckpt = tmp_path / 'ckpt.pkl'
+    ckpt.write_bytes(b'x')
+    assert resolve_stylegan_path(
+        str(ckpt), 'D', 'N', ['A'], 'e', 'net.pkl') == str(ckpt)
+
+    # directory + pkl name fallback
+    plain = tmp_path / 'plain'
+    plain.mkdir()
+    assert resolve_stylegan_path(
+        str(plain), 'D', 'N', ['A'], 'e', 'net.pkl') == \
+        str(plain / 'net.pkl')
+
+    # VGG: env wins, then model_dir/vgg16_lpips.pkl, then None
+    monkeypatch.setenv('LATENTAUGMENT_VGG16', '/some/vgg.pkl')
+    assert resolve_vgg_path(str(tmp_path)) == '/some/vgg.pkl'
+    monkeypatch.delenv('LATENTAUGMENT_VGG16')
+    assert resolve_vgg_path(str(tmp_path)) is None
+    (tmp_path / 'vgg16_lpips.pkl').write_bytes(b'x')
+    assert resolve_vgg_path(str(tmp_path)) == \
+        str(tmp_path / 'vgg16_lpips.pkl')

@@ -557,3 +557,47 @@ def test_d_reg_r1_chunks_exact(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5 * scale,
                                    err_msg=str(k1))
+
+
+def test_buffers_frozen_through_training_steps(setup):
+    """resample_filter / noise_const / w_avg are torch BUFFERS: a full
+    g_main + g_reg + d_main + d_reg sequence must not move them through
+    Adam (w_avg only moves via its own EMA in _update_w_avg). Catches
+    the round-3 bug where Adam trained the FIR taps (~lr drift/step,
+    silently deforming the blur kernels; SKIP_LEAVES hid it from the
+    torch grad-parity tests)."""
+    _, _, gp, g_cfg, dp, d_cfg, z, real = setup
+    fns = train.make_train_fns(g_cfg, d_cfg,
+                               _cfg(w_avg_beta=1.0))  # freeze w_avg EMA too
+    state = fns.state_from_params(gp, dp)
+    before = {
+        k: np.asarray(v)
+        for k, v in _iter_buffer_leaves(state['g'], state['d'])}
+    k = jax.random.PRNGKey(5)
+    state, _ = fns.g_main(state, jnp.asarray(z), jnp.asarray(z), None, k,
+                          jnp.float32(0.0))
+    state, _ = fns.g_reg(state, jnp.asarray(z), jnp.asarray(z), None, k,
+                         jnp.float32(0.0))
+    state, _ = fns.d_main(state, jnp.asarray(real), jnp.asarray(z),
+                          jnp.asarray(z), None, k, jnp.float32(0.0))
+    state, _ = fns.d_reg(state, jnp.asarray(real), None, k,
+                         jnp.float32(0.0))
+    after = dict(_iter_buffer_leaves(state['g'], state['d']))
+    assert before.keys() == after.keys() and before, 'no buffer leaves found'
+    for name, b in before.items():
+        if 'w_avg' in name:
+            # w_avg updates through its own lerp; beta=1.0 makes it an
+            # fp identity (w_mean + (w_avg - w_mean)*1), exact only to
+            # one ulp.
+            np.testing.assert_allclose(b, np.asarray(after[name]),
+                                       rtol=0, atol=1e-7, err_msg=name)
+        else:
+            np.testing.assert_array_equal(b, np.asarray(after[name]),
+                                          err_msg=name)
+
+
+def _iter_buffer_leaves(g, d):
+    for prefix, tree in (('g', g), ('d', d)):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            if train._is_buffer(path):
+                yield prefix + jax.tree_util.keystr(path), leaf
