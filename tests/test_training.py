@@ -601,3 +601,18 @@ def _iter_buffer_leaves(g, d):
         for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
             if train._is_buffer(path):
                 yield prefix + jax.tree_util.keystr(path), leaf
+
+
+def test_prefetch_iter_yields_in_order_and_propagates_errors():
+    from latentaugment_tpu.models.stylegan2.train import prefetch_iter
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError('loader boom')
+
+    it = prefetch_iter(gen(), depth=1)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match='loader boom'):
+        next(it)
