@@ -379,9 +379,19 @@ def test_train_step_sharded_equals_single(setup):
                        what='sharded d grads')
 
     # The full phase steps still run under the mesh (end-to-end check;
-    # params agree within the 2*lr' Adam sign-flip bound).
+    # params agree within the 2*lr' Adam sign-flip bound). The g_main
+    # step is lowered once so its collective census rides the same
+    # compile: the trainer's DP contract is the walk's (batch sharded
+    # end-to-end, no activation all-gathers) plus param-gradient
+    # all-reduces, which at these shapes stay under the walk's reduce
+    # ceiling.
+    from latentaugment_tpu.parallel import audit
     s8 = fns8.replicate(fns8.state_from_params(gp, dp))
-    s8, _ = fns8.g_main(s8, z8, z8, None, k, jnp.float32(0.0))
+    compiled_gm = fns8.g_main.lower(
+        s8, z8, z8, None, k, jnp.float32(0.0)).compile()
+    audit.audit_walk_collectives(
+        audit.collective_census(compiled_gm.as_text()))
+    s8, _ = compiled_gm(s8, z8, z8, None, k, jnp.float32(0.0))
     s8, _ = fns8.d_main(s8, real8, z8, z8, None, k, jnp.float32(0.0))
     s1 = fns1.state_from_params(gp, dp)
     s1, _ = fns1.g_main(s1, z, z, None, k, jnp.float32(0.0))
