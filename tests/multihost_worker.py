@@ -81,9 +81,49 @@ def main():
     img_off, img_local = local_rows(img)
     ws_off, ws_local = local_rows(ws)
     assert img_off == ws_off == pid * 2, (img_off, ws_off, pid)
-    np.savez(out_path, offset=img_off, img=img_local, ws=ws_local)
-    print(f"[worker {pid}] OK rows [{img_off}:{img_off + img_local.shape[0]}]",
-          flush=True)
+
+    # ---- trainer step over the same 2-process cluster: loss + G-gradient
+    # of the Gmain phase on the global batch must equal the single-process
+    # values (the parent computes the reference). Params replicate across
+    # hosts; each process contributes its 2 batch rows; the gradient's
+    # batch-mean becomes a cross-process all-reduce under GSPMD.
+    from latentaugment_tpu.models.stylegan2 import networks
+    from latentaugment_tpu.models.stylegan2 import train as sg2_train
+
+    g_cfg2 = networks.generator_config(
+        z_dim=32, w_dim=32, img_resolution=32, img_channels=2,
+        channel_base=1024, channel_max=32, num_fp16_res=0)
+    d_cfg2 = networks.discriminator_config(
+        img_resolution=32, img_channels=2, channel_base=1024,
+        channel_max=32, num_fp16_res=0)
+    tcfg = sg2_train.train_config(batch_size=4, aug="noaug",
+                                  style_mixing_prob=0.9)
+    tfns = sg2_train.make_train_fns(g_cfg2, d_cfg2, tcfg, mesh=mesh)
+    kinit = jax.random.PRNGKey(13)
+    gp = networks.generator_init(jax.random.fold_in(kinit, 0), g_cfg2)
+    dp = networks.discriminator_init(jax.random.fold_in(kinit, 1), d_cfg2)
+    gp, dp = to_global(gp, repl), to_global(dp, repl)
+
+    rng = np.random.RandomState(21)
+    z_all = rng.randn(4, g_cfg2.z_dim).astype(np.float32)
+    z2_all = rng.randn(4, g_cfg2.z_dim).astype(np.float32)
+    gz = jax.make_array_from_process_local_data(
+        batch, z_all[pid * 2:(pid + 1) * 2], global_shape=(4, g_cfg2.z_dim))
+    gz2 = jax.make_array_from_process_local_data(
+        batch, z2_all[pid * 2:(pid + 1) * 2], global_shape=(4, g_cfg2.z_dim))
+    k = jax.random.PRNGKey(5)
+    (g_loss, _), g_grads = jax.jit(jax.value_and_grad(
+        tfns.loss_g_main, has_aux=True))(
+            gp, dp, gz, gz2, None, k, k, k, jax.numpy.float32(0.0))
+    jax.block_until_ready(g_grads)
+    grad_vec = np.concatenate([
+        np.asarray(leaf).ravel()
+        for leaf in jax.tree_util.tree_leaves(g_grads)])
+
+    np.savez(out_path, offset=img_off, img=img_local, ws=ws_local,
+             g_loss=float(g_loss), g_grad_vec=grad_vec)
+    print(f"[worker {pid}] OK rows [{img_off}:{img_off + img_local.shape[0]}]"
+          f" g_loss={float(g_loss):.6f}", flush=True)
 
 
 if __name__ == "__main__":

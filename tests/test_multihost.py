@@ -90,6 +90,43 @@ def test_two_process_walk_matches_single(tmp_path):
     np.testing.assert_allclose(img_ref, img, rtol=1e-2, atol=2e-3)
     np.testing.assert_allclose(ws_ref, ws, rtol=1e-2, atol=2e-3)
 
+    # ---- trainer leg: Gmain loss + gradient from the 2-process cluster
+    # must match a single-process evaluation of the identical setup
+    # (deterministic init keys/batch; the worker mirrors this code).
+    from latentaugment_tpu.models.stylegan2 import networks
+    from latentaugment_tpu.models.stylegan2 import train as sg2_train
+
+    g_cfg2 = networks.generator_config(
+        z_dim=32, w_dim=32, img_resolution=32, img_channels=2,
+        channel_base=1024, channel_max=32, num_fp16_res=0)
+    d_cfg2 = networks.discriminator_config(
+        img_resolution=32, img_channels=2, channel_base=1024,
+        channel_max=32, num_fp16_res=0)
+    tcfg = sg2_train.train_config(batch_size=4, aug="noaug",
+                                  style_mixing_prob=0.9)
+    tfns = sg2_train.make_train_fns(g_cfg2, d_cfg2, tcfg)
+    kinit = jax.random.PRNGKey(13)
+    gp = networks.generator_init(jax.random.fold_in(kinit, 0), g_cfg2)
+    dp = networks.discriminator_init(jax.random.fold_in(kinit, 1), d_cfg2)
+    rng = np.random.RandomState(21)
+    z = np.asarray(rng.randn(4, g_cfg2.z_dim), np.float32)
+    z2 = np.asarray(rng.randn(4, g_cfg2.z_dim), np.float32)
+    k = jax.random.PRNGKey(5)
+    import jax.numpy as jnp
+    (loss_ref, _), grads_ref = jax.jit(jax.value_and_grad(
+        tfns.loss_g_main, has_aux=True))(
+            gp, dp, z, z2, None, k, k, k, jnp.float32(0.0))
+    grad_vec_ref = np.concatenate([
+        np.asarray(leaf).ravel()
+        for leaf in jax.tree_util.tree_leaves(grads_ref)])
+
+    for path in outs:
+        z_npz = np.load(path)
+        np.testing.assert_allclose(float(z_npz["g_loss"]), float(loss_ref),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(z_npz["g_grad_vec"], grad_vec_ref,
+                                   rtol=2e-3, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_init_distributed_two_process_psum(tmp_path):
