@@ -263,6 +263,18 @@ class AdaController:
         self._n_seen = 0
         self._ticks = 0
 
+    def state_dict(self):
+        """Serializable controller state (hyperparameters come from the
+        train config; only the evolving accumulator state is saved)."""
+        return dict(p=self.p, sign_sum=self._sign_sum,
+                    n_seen=self._n_seen, ticks=self._ticks)
+
+    def load_state_dict(self, sd):
+        self.p = float(sd['p'])
+        self._sign_sum = float(sd['sign_sum'])
+        self._n_seen = int(sd['n_seen'])
+        self._ticks = int(sd['ticks'])
+
     def update(self, real_sign_mean, batch_size):
         """Feed mean(sign(D(real_logits))) for one step; returns p."""
         self._sign_sum += float(real_sign_mean) * batch_size

@@ -44,8 +44,10 @@ All device state lives in PLAIN dict pytrees passed as jit ARGUMENTS
 limit) and params stay device-resident buffers.
 """
 
+import glob
 import json
 import os
+import pickle
 import time
 
 import numpy as np
@@ -438,7 +440,8 @@ def ema_beta(cfg, cur_nimg):
 
 def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
                run_dir=None, mesh=None, seed=0, snapshot_kimg=50,
-               log_every=10, callbacks=None, state=None, on_snapshot=None):
+               log_every=10, callbacks=None, state=None, on_snapshot=None,
+               resume_state=None, keep_states=2):
     """Drive the phase schedule. `data_iter` yields (real_imgs [B,C,H,W]
     float32 in [-1,1], labels [B,c_dim] or None) on host.
 
@@ -448,16 +451,19 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
     written — the hook the snapshot-time metric evaluation rides (the
     torch trainer computes its --metrics there, training_loop.py of
     stylegan2-ada; reference defers training entirely, README.md:55-59).
+
+    `resume_state` (path or the dict from load_training_state) continues
+    an interrupted run EXACTLY: raw G + D, G_ema, both Adam moment trees,
+    pl_mean, loop counters, the evolved PRNG key and the ADA controller
+    are all restored (test: device state matches an uninterrupted run
+    bit-for-bit). Only the data iterator restarts — the same contract as
+    NVIDIA's stylegan3 training-state-*.pt resume. Each snapshot also
+    writes a training-state pickle (pruned to the newest `keep_states`).
     """
     cfg = EasyDict(cfg)
     fns = make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
     data_iter = prefetch_iter(data_iter, depth=2)
     key = jax.random.PRNGKey(seed)
-    if state is None:
-        key, k_init = jax.random.split(key)
-        state = fns.init_state(k_init)
-    if mesh is not None:
-        state = fns.replicate(state)
 
     ada = None
     if cfg.aug == 'ada':
@@ -465,12 +471,35 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
                             ada_kimg=cfg.ada_kimg, p_init=cfg.aug_p)
     p = float(cfg.aug_p)
 
+    cur_nimg = 0
+    step = 0
+    if resume_state is not None:
+        assert state is None, 'pass either state or resume_state, not both'
+        rs = resume_state if isinstance(resume_state, dict) \
+            else load_training_state(resume_state)
+        state = _state_from_leaves(fns, rs['state_leaves'])
+        key = jnp.asarray(rs['key'])
+        cur_nimg = int(rs['cur_nimg'])
+        step = int(rs['step'])
+        p = float(rs['p'])
+        if ada is not None and rs.get('ada') is not None:
+            ada.load_state_dict(rs['ada'])
+        if int(rs['train_cfg'].get('batch_size', cfg.batch_size)) \
+                != cfg.batch_size:
+            print(f"[train] WARNING: resuming with batch_size="
+                  f"{cfg.batch_size} != saved "
+                  f"{rs['train_cfg']['batch_size']}; continuation is no "
+                  f"longer step-exact")
+    if state is None:
+        key, k_init = jax.random.split(key)
+        state = fns.init_state(k_init)
+    if mesh is not None:
+        state = fns.replicate(state)
+
     log_path = os.path.join(run_dir, 'log.jsonl') if run_dir else None
     if run_dir:
         os.makedirs(run_dir, exist_ok=True)
 
-    cur_nimg = 0
-    step = 0
     t_start = time.time()
     logs_acc = {}
     while cur_nimg < total_kimg * 1000:
@@ -529,6 +558,9 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
                 (cur_nimg % snap_interval < cfg.batch_size
                  or cur_nimg >= total_kimg * 1000):
             snap_path = save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg)
+            save_training_state(run_dir, state, g_cfg=g_cfg, d_cfg=d_cfg,
+                                cfg=cfg, cur_nimg=cur_nimg, step=step,
+                                key=key, p=p, ada=ada, keep=keep_states)
             if on_snapshot is not None:
                 on_snapshot(snap_path, state, cur_nimg)
     return state
@@ -545,3 +577,77 @@ def save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg):
     convert.save_checkpoint(path, g_params=g_host, g_cfg=dict(g_cfg),
                             d_params=d_host, d_cfg=dict(d_cfg))
     return path
+
+
+def save_training_state(run_dir, state, *, g_cfg, d_cfg, cfg, cur_nimg,
+                        step, key, p, ada=None, keep=2):
+    """Full-fidelity interruption checkpoint (NVIDIA stylegan3's
+    training-state-*.pt equivalent; stylegan2-ada has none — resume
+    there loses Adam moments and the ADA controller). Saves everything
+    the network snapshot drops: raw G (not just EMA), both Adam moment
+    trees, pl_mean, loop counters, the evolved PRNG key and the ADA
+    accumulator — train_loop(resume_state=...) continues bit-exactly.
+
+    The state tree is stored as a flat leaf list (np arrays); restore
+    rebuilds the structure from an eval_shape template, so no optax/jax
+    container types enter the pickle. Prunes to the newest `keep` files.
+    """
+    from . import convert
+    from ...utils.util_io import write_pickle_atomic
+    if jax.process_count() > 1:
+        print('[train] multi-process run: skipping training-state save '
+              '(state gather needs single-host addressability)')
+        return None
+    obj = dict(
+        format_version=1,
+        state_leaves=[np.asarray(x)
+                      for x in jax.tree_util.tree_leaves(state)],
+        g_cfg=convert._cfg_kwargs(g_cfg, kind='G'),
+        d_cfg=convert._cfg_kwargs(d_cfg, kind='D'),
+        train_cfg={k: (dict(v) if isinstance(v, dict) else v)
+                   for k, v in dict(cfg).items()},
+        cur_nimg=int(cur_nimg), step=int(step),
+        key=np.asarray(key), p=float(p),
+        ada=None if ada is None else ada.state_dict())
+    # Named by raw nimg (not kimg like the network snapshots): sub-kimg
+    # snapshot intervals must not overwrite each other's resume point.
+    path = os.path.join(
+        run_dir, f'training-state-{int(cur_nimg):09d}.pkl')
+    write_pickle_atomic(obj, path)
+    if keep:
+        stale = sorted(glob.glob(
+            os.path.join(run_dir, 'training-state-*.pkl')))[:-int(keep)]
+        for s in stale:
+            os.remove(s)
+    return path
+
+
+def load_training_state(path):
+    """Read a training-state pickle (see save_training_state)."""
+    with open(path, 'rb') as f:
+        obj = pickle.load(f)
+    ver = obj.get('format_version')
+    if ver != 1:
+        raise ValueError(f'unknown training-state format_version: {ver!r}')
+    return obj
+
+
+def _state_from_leaves(fns, leaves):
+    """Rebuild the state pytree from saved leaves, validating every
+    shape/dtype against the eval_shape template of init_state (catches a
+    resume against mismatched network/optimizer configs up front)."""
+    template = jax.eval_shape(fns.init_state, jax.random.PRNGKey(0))
+    tdef = jax.tree_util.tree_structure(template)
+    tleaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(tleaves):
+        raise ValueError(f'training state has {len(leaves)} leaves, '
+                         f'configs imply {len(tleaves)}')
+    for i, (got, want) in enumerate(zip(leaves, tleaves)):
+        if tuple(got.shape) != tuple(want.shape) or \
+                np.dtype(got.dtype) != np.dtype(want.dtype):
+            raise ValueError(
+                f'training-state leaf {i}: saved '
+                f'{got.dtype}{tuple(got.shape)} != expected '
+                f'{want.dtype}{tuple(want.shape)} — cfg mismatch?')
+    return jax.tree_util.tree_unflatten(
+        tdef, [jnp.asarray(x) for x in leaves])

@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', default=None,
                    help='native checkpoint to resume G/D from')
+    p.add_argument('--resume-state', default=None, dest='resume_state',
+                   help='training-state-*.pkl from an interrupted run: '
+                        'continue exactly (raw G/D, EMA, Adam moments, '
+                        'ADA controller, RNG, nimg); overrides network '
+                        'shape flags with the saved configs')
     p.add_argument('--n_devices', type=int, default=0,
                    help='data-parallel mesh size (0 = single device)')
     p.add_argument('--synthetic', action='store_true',
@@ -161,7 +166,14 @@ def main(argv=None):
         img_channels = ds.num_channels
         c_dim = ds.label_dim if args.cond else 0
 
-    if args.resume:
+    resume_state = None
+    if args.resume_state:
+        assert not args.resume, '--resume and --resume-state are exclusive'
+        resume_state = train.load_training_state(args.resume_state)
+        g_params = d_params = None
+        g_cfg = networks.generator_config(**resume_state['g_cfg'])
+        d_cfg = networks.discriminator_config(**resume_state['d_cfg'])
+    elif args.resume:
         g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(args.resume)
         g_params = jax.tree_util.tree_map(np.asarray, g_params)
         d_params = jax.tree_util.tree_map(np.asarray, d_params)
@@ -242,7 +254,7 @@ def main(argv=None):
     train.train_loop(g_cfg, d_cfg, data_iter, cfg, total_kimg=args.kimg,
                      run_dir=args.outdir, mesh=mesh, seed=args.seed,
                      snapshot_kimg=args.snap, state=state,
-                     on_snapshot=on_snapshot)
+                     on_snapshot=on_snapshot, resume_state=resume_state)
     print('[train_sg2] done')
 
 

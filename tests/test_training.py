@@ -626,3 +626,109 @@ def test_prefetch_iter_yields_in_order_and_propagates_errors():
     assert next(it) == 2
     with pytest.raises(RuntimeError, match='loader boom'):
         next(it)
+
+
+def _resume_cfgs():
+    # Same shapes as test_train_loop_snapshot_consumable (jit cache reuse),
+    # but ADA on a short interval so the controller accumulator state is
+    # actually exercised across the save/restore boundary.
+    g_cfg = networks.generator_config(
+        z_dim=32, w_dim=32, img_resolution=16, img_channels=2,
+        channel_base=512, channel_max=32, num_mapping_layers=2,
+        num_fp16_res=0)
+    d_cfg = networks.discriminator_config(
+        img_resolution=16, img_channels=2, channel_base=512,
+        channel_max=32, num_fp16_res=0)
+    cfg = train.train_config(batch_size=4, aug='ada', aug_pipe='bgc',
+                             ada_interval=3, ada_kimg=0.01,
+                             noise_mode='random')
+    return g_cfg, d_cfg, cfg
+
+
+def _resume_data_iter(start_batch=0):
+    """Deterministic per-index batches so the resumed run can replay the
+    stream from the interruption point (per-batch seeded, not stateful)."""
+    i = start_batch
+    while True:
+        rng = np.random.RandomState(1000 + i)
+        yield rng.rand(4, 2, 16, 16).astype(np.float32) * 2 - 1, None
+        i += 1
+
+
+@pytest.mark.slow
+def test_training_state_resume_bitexact(tmp_path):
+    """Interrupt-and-resume == uninterrupted, bit for bit: params, EMA,
+    Adam moments, pl_mean, ADA controller and the PRNG stream all
+    continue through training-state-*.pkl (the stylegan3 trainer's
+    training-state-*.pt contract; stylegan2-ada cannot do this)."""
+    g_cfg, d_cfg, cfg = _resume_cfgs()
+
+    # Uninterrupted: 4 steps (16 imgs).
+    ref = train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(), cfg, total_kimg=0.016,
+        run_dir=str(tmp_path / 'a'), snapshot_kimg=0, log_every=100,
+        seed=7)
+
+    # Interrupted at 2 steps; snapshot_kimg=0.008 writes the training
+    # state exactly there.
+    train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(), cfg, total_kimg=0.008,
+        run_dir=str(tmp_path / 'b'), snapshot_kimg=0.008, log_every=100,
+        seed=7)
+    states = sorted((tmp_path / 'b').glob('training-state-*.pkl'))
+    assert states, 'no training state written'
+
+    # Resume for the remaining 2 steps, data stream replayed from batch 2;
+    # a different seed proves the saved key wins.
+    out = train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(start_batch=2), cfg,
+        total_kimg=0.016, run_dir=str(tmp_path / 'b'),
+        snapshot_kimg=0, log_every=100, seed=999,
+        resume_state=str(states[-1]))
+
+    ref_leaves = jax.tree_util.tree_leaves(ref)
+    out_leaves = jax.tree_util.tree_leaves(out)
+    assert len(ref_leaves) == len(out_leaves)
+    for a, b in zip(ref_leaves, out_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_state_rejects_mismatched_cfg(tmp_path):
+    """A training state saved under one network shape must refuse to load
+    into another (leaf shape validation), not silently mis-assign.
+    Exercises save/validate directly (no training steps — cheap)."""
+    g_cfg, d_cfg, cfg = _resume_cfgs()
+    fns = train.make_train_fns(g_cfg, d_cfg, cfg)
+    state = fns.init_state(jax.random.PRNGKey(0))
+    train.save_training_state(
+        str(tmp_path), state, g_cfg=g_cfg, d_cfg=d_cfg, cfg=cfg,
+        cur_nimg=8, step=2, key=jax.random.PRNGKey(1), p=0.1)
+    states = sorted(tmp_path.glob('training-state-*.pkl'))
+    assert states
+    g_big = networks.generator_config(
+        z_dim=32, w_dim=32, img_resolution=16, img_channels=2,
+        channel_base=1024, channel_max=64, num_mapping_layers=2,
+        num_fp16_res=0)
+    with pytest.raises(ValueError, match='leaf|leaves'):
+        train.train_loop(
+            g_big, d_cfg, _resume_data_iter(start_batch=2), cfg,
+            total_kimg=0.016, snapshot_kimg=0,
+            resume_state=str(states[-1]))
+
+
+def test_training_state_pruning(tmp_path):
+    """Only the newest `keep` training-state files survive; other run
+    artifacts (network snapshots) are untouched by the prune glob."""
+    g_cfg, d_cfg, cfg = _resume_cfgs()
+    fns = train.make_train_fns(g_cfg, d_cfg, cfg)
+    state = fns.init_state(jax.random.PRNGKey(0))
+    (tmp_path / 'network-snapshot-000000.pkl').write_bytes(b'keepme')
+    for nimg in (4, 8, 12, 16):
+        train.save_training_state(
+            str(tmp_path), state, g_cfg=g_cfg, d_cfg=d_cfg, cfg=cfg,
+            cur_nimg=nimg, step=nimg // 4, key=jax.random.PRNGKey(1),
+            p=0.0, keep=2)
+    states = sorted(p.name for p in tmp_path.glob('training-state-*.pkl'))
+    assert states == ['training-state-000000012.pkl',
+                      'training-state-000000016.pkl']
+    assert (tmp_path / 'network-snapshot-000000.pkl').exists()
