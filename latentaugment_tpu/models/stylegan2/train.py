@@ -459,6 +459,13 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
     bit-for-bit). Only the data iterator restarts — the same contract as
     NVIDIA's stylegan3 training-state-*.pt resume. Each snapshot also
     writes a training-state pickle (pruned to the newest `keep_states`).
+
+    Multi-process clusters: process 0 is the sole writer (log.jsonl,
+    snapshots, training states); a barrier after each snapshot orders
+    the other ranks behind the writes. Resume re-replicates the restored
+    host state onto the global mesh. Each process must feed the SAME
+    global batch stream through `data_iter` (device_put global
+    semantics) — tests/multihost_worker.py is the worked example.
     """
     cfg = EasyDict(cfg)
     fns = make_train_fns(g_cfg, d_cfg, cfg, mesh=mesh)
@@ -539,10 +546,11 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
             row = {k: float(v) for k, v in logs_acc.items()}
             row.update(step=step, kimg=cur_nimg / 1000.0, aug_p=p,
                        sec=round(time.time() - t_start, 3))
-            print('[train] ' + json.dumps(row))
-            if log_path:
-                with open(log_path, 'a') as f:
-                    f.write(json.dumps(row) + '\n')
+            if jax.process_index() == 0:  # one writer per cluster
+                print('[train] ' + json.dumps(row))
+                if log_path:
+                    with open(log_path, 'a') as f:
+                        f.write(json.dumps(row) + '\n')
             # Each row reports only phases that ran since the last row;
             # without this, a reg loss from up to d_reg_interval steps
             # ago would be re-emitted as if current. rt stays: the ADA
@@ -561,6 +569,13 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
             save_training_state(run_dir, state, g_cfg=g_cfg, d_cfg=d_cfg,
                                 cfg=cfg, cur_nimg=cur_nimg, step=step,
                                 key=key, p=p, ada=ada, keep=keep_states)
+            if jax.process_count() > 1:
+                # Order non-writer ranks behind process 0's file writes
+                # before anyone (on_snapshot metrics, a later resume)
+                # reads the paths just returned.
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(
+                    f'latentaugment_snapshot_{int(cur_nimg)}')
             if on_snapshot is not None:
                 on_snapshot(snap_path, state, cur_nimg)
     return state
@@ -568,10 +583,14 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
 
 def save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg):
     """Native checkpoint (G = EMA weights, as the torch trainer pickles
-    G_ema) — directly consumable by the policy engine/projector."""
+    G_ema) — directly consumable by the policy engine/projector.
+    Multi-process runs: replicated state, one writer (process 0); the
+    path is returned on every rank."""
     from . import convert
     path = os.path.join(
         run_dir, f'network-snapshot-{int(cur_nimg // 1000):06d}.pkl')
+    if jax.process_index() != 0:
+        return path
     g_host = jax.tree_util.tree_map(np.asarray, state['g_ema'])
     d_host = jax.tree_util.tree_map(np.asarray, state['d'])
     convert.save_checkpoint(path, g_params=g_host, g_cfg=dict(g_cfg),
@@ -591,13 +610,21 @@ def save_training_state(run_dir, state, *, g_cfg, d_cfg, cfg, cur_nimg,
     The state tree is stored as a flat leaf list (np arrays); restore
     rebuilds the structure from an eval_shape template, so no optax/jax
     container types enter the pickle. Prunes to the newest `keep` files.
+
+    Multi-process runs: DP state is fully replicated, so every process
+    can materialize it (jax allows np.asarray on fully-replicated
+    cross-process arrays) but only process 0 writes; the path is
+    returned on every rank and the post-snapshot barrier in train_loop
+    orders readers behind the write.
     """
     from . import convert
     from ...utils.util_io import write_pickle_atomic
-    if jax.process_count() > 1:
-        print('[train] multi-process run: skipping training-state save '
-              '(state gather needs single-host addressability)')
-        return None
+    # Named by raw nimg (not kimg like the network snapshots): sub-kimg
+    # snapshot intervals must not overwrite each other's resume point.
+    path = os.path.join(
+        run_dir, f'training-state-{int(cur_nimg):09d}.pkl')
+    if jax.process_index() != 0:
+        return path
     obj = dict(
         format_version=1,
         state_leaves=[np.asarray(x)
@@ -609,10 +636,6 @@ def save_training_state(run_dir, state, *, g_cfg, d_cfg, cfg, cur_nimg,
         cur_nimg=int(cur_nimg), step=int(step),
         key=np.asarray(key), p=float(p),
         ada=None if ada is None else ada.state_dict())
-    # Named by raw nimg (not kimg like the network snapshots): sub-kimg
-    # snapshot intervals must not overwrite each other's resume point.
-    path = os.path.join(
-        run_dir, f'training-state-{int(cur_nimg):09d}.pkl')
     write_pickle_atomic(obj, path)
     if keep:
         stale = sorted(glob.glob(

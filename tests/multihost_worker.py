@@ -120,10 +120,58 @@ def main():
         np.asarray(leaf).ravel()
         for leaf in jax.tree_util.tree_leaves(g_grads)])
 
+    # ---- train_loop interrupt/resume leg: the full training loop runs
+    # across the cluster (rank-0 snapshot writes, post-snapshot barrier,
+    # replicated-state training-state pickle), and interrupted+resumed
+    # device state must equal an uninterrupted run bit for bit. Both
+    # processes feed the identical global batch stream (device_put's
+    # cross-process global semantics), so state stays replicated.
+    import tempfile
+
+    run_root = sys.argv[4] if len(sys.argv) > 4 else tempfile.gettempdir()
+    g_cfg3 = networks.generator_config(
+        z_dim=16, w_dim=16, img_resolution=16, img_channels=2,
+        channel_base=256, channel_max=16, num_mapping_layers=2,
+        num_fp16_res=0)
+    d_cfg3 = networks.discriminator_config(
+        img_resolution=16, img_channels=2, channel_base=256,
+        channel_max=16, num_fp16_res=0)
+    cfg3 = sg2_train.train_config(batch_size=4, aug="ada", aug_pipe="bgc",
+                                  ada_interval=3, ada_kimg=0.01,
+                                  noise_mode="random")
+
+    def data_iter(start_batch=0):
+        i = start_batch
+        while True:
+            r = np.random.RandomState(2000 + i)
+            yield r.rand(4, 2, 16, 16).astype(np.float32) * 2 - 1, None
+            i += 1
+
+    ref_state = sg2_train.train_loop(
+        g_cfg3, d_cfg3, data_iter(), cfg3, total_kimg=0.016,
+        run_dir=os.path.join(run_root, "mh_a"), snapshot_kimg=0,
+        log_every=100, seed=11, mesh=mesh)
+    run_b = os.path.join(run_root, "mh_b")
+    sg2_train.train_loop(
+        g_cfg3, d_cfg3, data_iter(), cfg3, total_kimg=0.008,
+        run_dir=run_b, snapshot_kimg=0.008, log_every=100, seed=11,
+        mesh=mesh)
+    import glob as _glob
+    states = sorted(_glob.glob(os.path.join(run_b,
+                                            "training-state-*.pkl")))
+    assert states, f"[worker {pid}] no training state written"
+    out_state = sg2_train.train_loop(
+        g_cfg3, d_cfg3, data_iter(start_batch=2), cfg3,
+        total_kimg=0.016, run_dir=run_b, snapshot_kimg=0,
+        log_every=100, seed=999, mesh=mesh, resume_state=states[-1])
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state),
+                    jax.tree_util.tree_leaves(out_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     np.savez(out_path, offset=img_off, img=img_local, ws=ws_local,
-             g_loss=float(g_loss), g_grad_vec=grad_vec)
+             g_loss=float(g_loss), g_grad_vec=grad_vec, resume_ok=1)
     print(f"[worker {pid}] OK rows [{img_off}:{img_off + img_local.shape[0]}]"
-          f" g_loss={float(g_loss):.6f}", flush=True)
+          f" g_loss={float(g_loss):.6f} resume_ok", flush=True)
 
 
 if __name__ == "__main__":

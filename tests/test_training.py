@@ -732,3 +732,35 @@ def test_training_state_pruning(tmp_path):
     assert states == ['training-state-000000012.pkl',
                       'training-state-000000016.pkl']
     assert (tmp_path / 'network-snapshot-000000.pkl').exists()
+
+
+@pytest.mark.slow
+def test_training_state_resume_mesh(tmp_path):
+    """Resume on a DP mesh == uninterrupted mesh run, bit for bit: the
+    saved leaves come off replicated sharded arrays and the restored
+    state is re-replicated onto the mesh (the multi-process save path
+    gathers the same way; tests/test_multihost.py covers the real
+    2-process cluster)."""
+    from latentaugment_tpu.parallel import mesh as pmesh
+    g_cfg, d_cfg, cfg = _resume_cfgs()
+    mesh = pmesh.get_mesh(2)
+
+    ref = train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(), cfg, total_kimg=0.016,
+        run_dir=str(tmp_path / 'a'), snapshot_kimg=0, log_every=100,
+        seed=7, mesh=mesh)
+    train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(), cfg, total_kimg=0.008,
+        run_dir=str(tmp_path / 'b'), snapshot_kimg=0.008, log_every=100,
+        seed=7, mesh=mesh)
+    states = sorted((tmp_path / 'b').glob('training-state-*.pkl'))
+    assert states, 'no training state written under the mesh'
+    out = train.train_loop(
+        g_cfg, d_cfg, _resume_data_iter(start_batch=2), cfg,
+        total_kimg=0.016, run_dir=str(tmp_path / 'b'),
+        snapshot_kimg=0, log_every=100, seed=999, mesh=mesh,
+        resume_state=str(states[-1]))
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
