@@ -47,7 +47,6 @@ limit) and params stay device-resident buffers.
 import glob
 import json
 import os
-import pickle
 import time
 
 import numpy as np
@@ -646,9 +645,14 @@ def save_training_state(run_dir, state, *, g_cfg, d_cfg, cfg, cur_nimg,
 
 
 def load_training_state(path):
-    """Read a training-state pickle (see save_training_state)."""
-    with open(path, 'rb') as f:
-        obj = pickle.load(f)
+    """Read a training-state pickle (see save_training_state).
+
+    Routed through the exact-name-allowlist unpickler: a --resume-state
+    file is an ingestion surface like any network pickle, so a tampered
+    file must raise instead of executing code (the state is only dicts /
+    floats / np arrays — well inside the allowlist)."""
+    from . import convert
+    obj = convert.load_network_pickle(path)
     ver = obj.get('format_version')
     if ver != 1:
         raise ValueError(f'unknown training-state format_version: {ver!r}')

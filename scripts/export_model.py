@@ -52,46 +52,40 @@ def build_export(checkpoint, which='g', batch=0, truncation=1.0,
 
     if which == 'g':
         cfg, params = g_cfg, g_params
+        lead = export.symbolic_shape('b')[0] if not batch else int(batch)
+        data_spec = jax.ShapeDtypeStruct((lead, cfg.z_dim), jnp.float32)
 
         def fn(z, c=None):
             return networks.generator_apply(
                 params, cfg, z, c=c, truncation_psi=truncation,
                 noise_mode='const')
-
-        lead = export.symbolic_shape('b')[0] if not batch else int(batch)
-        specs = [jax.ShapeDtypeStruct((lead, cfg.z_dim), jnp.float32)]
-        if cfg.c_dim:
-            specs.append(jax.ShapeDtypeStruct((lead, cfg.c_dim),
-                                              jnp.float32))
-            exported = export.export(jax.jit(fn), platforms=platforms)(
-                *specs)
-        else:
-            exported = export.export(jax.jit(lambda z: fn(z)),
-                                     platforms=platforms)(*specs)
-        return exported
-
-    if which == 'd':
+    elif which == 'd':
         if d_params is None:
             raise ValueError(f'{checkpoint} has no discriminator')
         if not batch:
             raise ValueError('--which d needs a concrete --batch '
                              '(minibatch-stddev groups over the batch)')
         cfg, params = d_cfg, d_params
-
-        def dfn(img, c=None):
-            return networks.discriminator_apply(params, cfg, img, c=c)
-
-        specs = [jax.ShapeDtypeStruct(
+        data_spec = jax.ShapeDtypeStruct(
             (int(batch), cfg.img_channels, cfg.img_resolution,
-             cfg.img_resolution), jnp.float32)]
-        if cfg.c_dim:
-            specs.append(jax.ShapeDtypeStruct((int(batch), cfg.c_dim),
-                                              jnp.float32))
-            return export.export(jax.jit(dfn), platforms=platforms)(*specs)
-        return export.export(jax.jit(lambda img: dfn(img)),
-                             platforms=platforms)(*specs)
+             cfg.img_resolution), jnp.float32)
 
-    raise ValueError(f'unknown --which {which!r}')
+        def fn(img, c=None):
+            return networks.discriminator_apply(params, cfg, img, c=c)
+    else:
+        raise ValueError(f'unknown --which {which!r}')
+
+    # Unconditional nets export a one-argument callable; conditional a
+    # two-argument (data, one-hot labels) one. Same lead dim on both.
+    specs = [data_spec]
+    if cfg.c_dim:
+        specs.append(jax.ShapeDtypeStruct((data_spec.shape[0], cfg.c_dim),
+                                          jnp.float32))
+        wrapped = fn
+    else:
+        def wrapped(x):
+            return fn(x)
+    return export.export(jax.jit(wrapped), platforms=platforms)(*specs)
 
 
 def main(argv=None):

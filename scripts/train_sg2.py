@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_args(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__.split('\n')[0])
     p.add_argument('--outdir', default='./runs/sg2')
     p.add_argument('--data', default=None,
@@ -91,7 +91,21 @@ def parse_args(argv=None):
     p.add_argument('--map_layers', type=int, default=2,
                    help='mapping depth (NVIDIA auto config uses 2)')
     p.add_argument('--cpu', action='store_true', help='force CPU backend')
-    return p.parse_args(argv)
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
+
+
+def _explicit_flags(argv=None):
+    """Dests of the flags the user actually typed (defaults suppressed) —
+    lets --resume-state restore the saved hyperparameters while explicit
+    CLI flags still win."""
+    p = build_parser()
+    for action in p._actions:
+        action.default = argparse.SUPPRESS
+    return set(vars(p.parse_args(argv)))
 
 
 def make_data_iter(args, batch_size, c_dim):
@@ -112,13 +126,20 @@ def make_data_iter(args, batch_size, c_dim):
     from latentaugment_tpu.models.stylegan2.dataset import \
         CustomImageFolderDataset
     from latentaugment_tpu.utils.util_misc import InfiniteSampler
-    import jax
     ds = CustomImageFolderDataset(
         args.data, modalities=args.modalities.split(','), split=args.split,
         resolution=args.resolution, use_labels=args.cond,
         xflip=args.mirror)
-    sampler = InfiniteSampler(len(ds), rank=jax.process_index(),
-                              num_replicas=jax.process_count(),
+    # Every process must feed the SAME global batch stream (train_loop's
+    # documented multi-process contract): shard_batch uses device_put's
+    # cross-process global semantics, where each rank's devices take
+    # their own global rows out of the locally-fed batch. A rank-sharded
+    # sampler (rank=process_index) would make every rank feed a
+    # DIFFERENT stream, silently dropping all but 1/N of each decoded
+    # batch and skewing epoch coverage. Ranks therefore decode the full
+    # global batch; the duplicated decode is hidden by the prefetch
+    # thread (BENCH_NOTES.md host-decode probe).
+    sampler = InfiniteSampler(len(ds), rank=0, num_replicas=1,
                               seed=args.seed)
 
     def it():
@@ -134,6 +155,38 @@ def make_data_iter(args, batch_size, c_dim):
                 np.asarray(labels[0]).size else None
             yield np.stack(imgs), c
     return it(), ds
+
+
+def resolve_train_cfg(train, args, resume_state, argv=None):
+    """Build the train_config. --resume-state restores the SAVED
+    hyperparameters (r1_chunks, gamma, aug mode, remat, ...); explicit
+    CLI flags still override, each with a loud warning, because an
+    un-restored train_config silently breaks the "exact continuation"
+    contract (e.g. the r1_chunks=1 default compile-OOMs the 256² b32
+    run that was trained with --r1_chunks 2, and aug='ada' would
+    overwrite a restored fixed p on the controller's first tick)."""
+    cfg_kwargs = dict(
+        batch_size=args.batch, lr=args.lr,
+        r1_gamma=None if args.gamma == 'auto' else float(args.gamma),
+        aug=args.aug, aug_pipe=args.augpipe, ada_target=args.target,
+        aug_p=args.p, remat=args.remat if args.remat else False,
+        r1_chunks=args.r1_chunks)
+    if resume_state is None:
+        return train.train_config(**cfg_kwargs)
+    saved_cfg = dict(resume_state.get('train_cfg') or {})
+    flag_to_cfg = dict(batch='batch_size', lr='lr', gamma='r1_gamma',
+                       aug='aug', augpipe='aug_pipe',
+                       target='ada_target', p='aug_p', remat='remat',
+                       r1_chunks='r1_chunks')
+    explicit = _explicit_flags(argv)
+    for flag, ck in flag_to_cfg.items():
+        if flag in explicit:
+            if ck in saved_cfg and saved_cfg[ck] != cfg_kwargs[ck]:
+                print(f'[train_sg2] WARNING: --{flag} overrides saved '
+                      f'{ck}={saved_cfg[ck]!r} -> {cfg_kwargs[ck]!r}; '
+                      'continuation is no longer exact')
+            saved_cfg[ck] = cfg_kwargs[ck]
+    return train.train_config(**saved_cfg)
 
 
 def main(argv=None):
@@ -156,9 +209,28 @@ def main(argv=None):
         if args.channel_max == 512:
             args.channel_max = 64
 
+    resume_state = None
+    if args.resume_state:
+        assert not args.resume, '--resume and --resume-state are exclusive'
+        resume_state = train.load_training_state(args.resume_state)
+    cfg = resolve_train_cfg(train, args, resume_state, argv)
+
+    if resume_state is not None:
+        if resume_state['g_cfg'].get('c_dim'):
+            args.cond = True  # the restored nets need labels from the iter
+        saved_res = int(resume_state['g_cfg'].get('img_resolution',
+                                                  args.resolution))
+        if args.resolution != saved_res:
+            if 'resolution' in _explicit_flags(argv):
+                raise SystemExit(
+                    f'--resolution {args.resolution} != saved network '
+                    f'resolution {saved_res}; a resumed run cannot change '
+                    'the architecture')
+            args.resolution = saved_res  # data iter must decode to match
+
     c_dim = 0
-    data_iter, ds = make_data_iter(args, args.batch, c_dim=2 if args.cond
-                                   else 0)
+    data_iter, ds = make_data_iter(args, cfg.batch_size,
+                                   c_dim=2 if args.cond else 0)
     if args.synthetic:
         img_channels = ds
         c_dim = 2 if args.cond else 0
@@ -166,10 +238,7 @@ def main(argv=None):
         img_channels = ds.num_channels
         c_dim = ds.label_dim if args.cond else 0
 
-    resume_state = None
-    if args.resume_state:
-        assert not args.resume, '--resume and --resume-state are exclusive'
-        resume_state = train.load_training_state(args.resume_state)
+    if resume_state is not None:
         g_params = d_params = None
         g_cfg = networks.generator_config(**resume_state['g_cfg'])
         d_cfg = networks.discriminator_config(**resume_state['d_cfg'])
@@ -191,18 +260,11 @@ def main(argv=None):
             channel_max=args.channel_max,
             num_fp16_res=args.fp16_res if args.resolution >= 64 else 0)
 
-    gamma = None if args.gamma == 'auto' else float(args.gamma)
-    cfg = train.train_config(
-        batch_size=args.batch, lr=args.lr, r1_gamma=gamma,
-        aug=args.aug, aug_pipe=args.augpipe, ada_target=args.target,
-        aug_p=args.p, remat=args.remat if args.remat else False,
-        r1_chunks=args.r1_chunks)
-
     mesh = None
     if args.n_devices and args.n_devices > 1:
         mesh = pmesh.get_mesh(args.n_devices)
-        assert args.batch % args.n_devices == 0, \
-            '--n_devices must divide --batch'
+        assert cfg.batch_size % args.n_devices == 0, \
+            '--n_devices must divide the batch size'
 
     state = None
     if g_params is not None:
@@ -235,20 +297,25 @@ def main(argv=None):
                                                 snap_state['g_ema'])
                 for mode_idx, mode in enumerate(modalities):
                     for m in metric_names:
+                        # calc_metric runs on EVERY rank (the sharded
+                        # feature passes are cross-process collectives);
+                        # only process 0 appends to metric-*.jsonl —
+                        # same single-writer contract as log.jsonl.
                         res = metric_main.calc_metric(
                             m, G=(g_host, g_cfg),
                             dataset_kwargs=dataset_kwargs,
                             mode_dict=dict(mode_name=mode,
                                            mode_idx=mode_idx),
                             mesh=mesh)
-                        metric_main.report_metric(
-                            res, mode=mode, run_dir=args.outdir,
-                            snapshot_pkl=path)
+                        if jax.process_index() == 0:
+                            metric_main.report_metric(
+                                res, mode=mode, run_dir=args.outdir,
+                                snapshot_pkl=path)
 
-    gamma_eff = gamma if gamma is not None else \
-        0.0002 * args.resolution ** 2 / args.batch
+    gamma_eff = cfg.r1_gamma if cfg.r1_gamma is not None else \
+        0.0002 * args.resolution ** 2 / cfg.batch_size
     print(f'[train_sg2] res={args.resolution} ch={img_channels} '
-          f'c_dim={c_dim} batch={args.batch} aug={args.aug} '
+          f'c_dim={c_dim} batch={cfg.batch_size} aug={cfg.aug} '
           f'gamma={gamma_eff:g} mesh={args.n_devices or 1} '
           f'outdir={args.outdir}')
     train.train_loop(g_cfg, d_cfg, data_iter, cfg, total_kimg=args.kimg,

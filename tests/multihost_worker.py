@@ -126,9 +126,12 @@ def main():
     # device state must equal an uninterrupted run bit for bit. Both
     # processes feed the identical global batch stream (device_put's
     # cross-process global semantics), so state stays replicated.
-    import tempfile
-
-    run_root = sys.argv[4] if len(sys.argv) > 4 else tempfile.gettempdir()
+    # Both processes must share this root (rank 0 writes the states,
+    # rank 1 globs them), and it must be unique per invocation — a fixed
+    # fallback dir could resurrect a stale training-state-*.pkl from an
+    # earlier run and compare mismatched runs. The parent test provides
+    # a fresh tmp dir; manual invocations must too.
+    run_root = sys.argv[4]
     g_cfg3 = networks.generator_config(
         z_dim=16, w_dim=16, img_resolution=16, img_channels=2,
         channel_base=256, channel_max=16, num_mapping_layers=2,

@@ -716,6 +716,102 @@ def test_training_state_rejects_mismatched_cfg(tmp_path):
             resume_state=str(states[-1]))
 
 
+def _load_train_sg2():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        'train_sg2_mod', os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            'scripts', 'train_sg2.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_training_state_restricted_load_and_cfg_restore(tmp_path):
+    """The training-state pickle round-trips through the exact-name
+    allowlist unpickler (a --resume-state file is an ingestion surface),
+    and scripts/train_sg2.resolve_train_cfg restores the SAVED
+    hyperparameters — r1_chunks, gamma, aug mode — with explicit CLI
+    flags overriding (the exact-continuation contract: an un-restored
+    r1_chunks=1 default would compile-OOM the 256² b32 recipe)."""
+    g_cfg, d_cfg, _ = _resume_cfgs()
+    cfg = train.train_config(batch_size=16, r1_gamma=10.0, aug='fixed',
+                             aug_p=0.2, r1_chunks=2, lr=1e-3)
+    fns = train.make_train_fns(g_cfg, d_cfg, cfg)
+    state = fns.init_state(jax.random.PRNGKey(0))
+    train.save_training_state(
+        str(tmp_path), state, g_cfg=g_cfg, d_cfg=d_cfg, cfg=cfg,
+        cur_nimg=32, step=2, key=jax.random.PRNGKey(1), p=0.2)
+    path = sorted(tmp_path.glob('training-state-*.pkl'))[-1]
+
+    rs = train.load_training_state(str(path))  # restricted unpickler
+    assert rs['cur_nimg'] == 32 and rs['train_cfg']['r1_chunks'] == 2
+
+    train_sg2 = _load_train_sg2()
+    # No explicit flags: every saved hyperparameter is restored.
+    argv = ['--synthetic']
+    cfg2 = train_sg2.resolve_train_cfg(
+        train, train_sg2.parse_args(argv), rs, argv)
+    assert cfg2.batch_size == 16 and cfg2.r1_gamma == 10.0
+    assert cfg2.aug == 'fixed' and cfg2.aug_p == 0.2
+    assert cfg2.r1_chunks == 2 and cfg2.lr == 1e-3
+    # Explicit flags win; untouched saved values survive.
+    argv = ['--synthetic', '--batch', '8', '--aug', 'ada']
+    cfg3 = train_sg2.resolve_train_cfg(
+        train, train_sg2.parse_args(argv), rs, argv)
+    assert cfg3.batch_size == 8 and cfg3.aug == 'ada'
+    assert cfg3.r1_chunks == 2 and cfg3.r1_gamma == 10.0
+
+
+def test_training_state_load_blocks_tampered_pickle(tmp_path):
+    """A crafted training-state referencing a non-allowlisted callable
+    raises instead of executing (same posture as network-pickle
+    ingestion, convert.py)."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("1+1",))
+
+    path = tmp_path / 'training-state-000000001.pkl'
+    path.write_bytes(pickle.dumps({'format_version': 1, 'x': Evil()}))
+    with pytest.raises(pickle.UnpicklingError, match='Blocked'):
+        train.load_training_state(str(path))
+
+
+@pytest.mark.slow
+def test_train_sg2_cli_resume_state(tmp_path):
+    """CLI-level interrupt/resume: `--resume-state <pkl>` alone (no other
+    recipe flags) continues with the SAVED batch size / aug config — the
+    resumed run's log advances in the saved batch-size increments."""
+    import json
+
+    train_sg2 = _load_train_sg2()
+    run = tmp_path / 'run'
+    train_sg2.main([
+        '--cpu', '--synthetic', '--outdir', str(run), '--batch', '2',
+        '--aug', 'noaug', '--kimg', '0.008', '--snap', '0.004',
+        '--seed', '3'])
+    states = sorted(run.glob('training-state-*.pkl'))
+    assert states, 'no training state written'
+
+    run2 = tmp_path / 'run2'
+    train_sg2.main([
+        '--cpu', '--synthetic', '--outdir', str(run2),
+        '--resume-state', str(states[-1]), '--kimg', '0.012',
+        '--snap', '0'])
+    rows = [json.loads(l) for l in
+            (run2 / 'log.jsonl').read_text().strip().splitlines()]
+    # Restored batch_size=2 (not the CLI default 32): kimg advances in
+    # 0.002 steps from the interruption point.
+    assert rows[-1]['kimg'] > 0.004
+    kimgs = [r['kimg'] for r in rows]
+    assert all(abs(round(k / 0.002) * 0.002 - k) < 1e-9 for k in kimgs), \
+        kimgs
+
+
 def test_training_state_pruning(tmp_path):
     """Only the newest `keep` training-state files survive; other run
     artifacts (network snapshots) are untouched by the prune glob."""
