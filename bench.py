@@ -13,6 +13,11 @@ utilization => ~2.9 samples/sec. Recorded here so successive rounds are
 comparable; see BENCH_NOTES.md for the derivation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Modes: default = the jitted walk (kernel progress); `--policy` = the
+public per-batch protocol including host IO; `--train` = the native
+StyleGAN2-ADA trainer's full phase schedule (imgs/s vs one V100 running
+the torch trainer).
 """
 
 import json
@@ -20,6 +25,10 @@ import sys
 import time
 
 A5000_BASELINE_SAMPLES_PER_SEC = 2.9
+# Trainer mode (--train): NVIDIA's stylegan2-ada README puts paper256 at
+# ~12.9 s/kimg on 8xV100 => ~100 s/kimg (10 imgs/s) for one V100 running
+# the torch trainer (BENCH_NOTES.md round 3).
+V100_TRAIN_IMGS_PER_SEC = 10.0
 
 _WATCHDOG_DONE = None
 
@@ -50,8 +59,12 @@ def _start_watchdog():
     # (the backend is unknowable here — the hang IS backend init — so the
     # TPU-shaped name is used; CPU-smoke runs override the watchdog).
     policy = "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY")
-    metric = ("policy_samples_per_sec_256px_K10" if policy
-              else "augmented_samples_per_sec_256px_K10")
+    if "--train" in sys.argv or os.environ.get("LATAUG_BENCH_TRAIN"):
+        metric = "sg2ada_train_imgs_per_sec_256px"
+    elif policy:
+        metric = "policy_samples_per_sec_256px_K10"
+    else:
+        metric = "augmented_samples_per_sec_256px_K10"
 
     def fire():
         if done.wait(timeout_s):
@@ -105,6 +118,8 @@ def main():
     # (set_input -> forward -> get_output: inversion-zip lookups, loader,
     # host<->device transfers) instead of the jitted walk alone — the
     # reference's own throughput protocol (backbone_latentaug.py:123-124).
+    if "--train" in sys.argv or os.environ.get("LATAUG_BENCH_TRAIN"):
+        return run_train_mode(on_tpu)
     if "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY"):
         return run_policy_mode(on_tpu)
     if on_tpu:
@@ -223,6 +238,43 @@ def main():
         "chains_s": [round(c, 3) for c in chains],
         "warm_single_batch_s": round(warm, 3),
     }))
+    _disarm_watchdog()
+
+
+def run_train_mode(on_tpu):
+    """One JSON line: native StyleGAN2-ADA trainer imgs/s (full phase
+    schedule — the checkpoint-producer path the reference defers to
+    NVIDIA's external trainer).
+
+    Thin wrapper over scripts/probe_train.py (the state-threaded chain
+    protocol, BENCH_NOTES.md round 3) pinned to the measured-safe 256²
+    operating point: batch 32 with r1_chunks=2 — unchunked R1 at b32
+    compile-OOMs a 16 GB chip, and b8/b16 hit backend kernel faults in
+    the G parameter-gradient phases. Runs in a fresh subprocess (the
+    poisoned-device guard: an in-process HBM OOM can wedge the relay
+    device for this process)."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    probe = os.path.join(root, "scripts", "probe_train.py")
+    env = dict(os.environ)
+    if on_tpu:
+        env.setdefault("LATAUG_PROBE_R1_CHUNKS", "2")
+        cmd = [sys.executable, probe, "--batch",
+               env.get("LATAUG_BENCH_BATCH", "32")]
+    else:
+        cmd = [sys.executable, probe, "--smoke", "--batch", "4",
+               "--steps", "2"]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    sys.stderr.write(out.stderr)
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout)
+        raise SystemExit(out.returncode)
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    row["vs_baseline"] = (round(row["value"] / V100_TRAIN_IMGS_PER_SEC, 3)
+                          if on_tpu else 0.0)
+    print(json.dumps(row))
     _disarm_watchdog()
 
 

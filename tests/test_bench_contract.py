@@ -83,6 +83,28 @@ def test_bench_policy_cpu_smoke():
     assert all(len(ph) == 3 and all(p >= 0 for p in ph)
                for ph in rec["phase_s"])
 
+@pytest.mark.slow
+def test_bench_train_cpu_smoke():
+    """--train mode: one JSON line with the native trainer's imgs/s
+    (wraps scripts/probe_train.py's chain protocol; CPU runs the tiny
+    smoke config in a subprocess)."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['bench.py', '--train'];"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = dict(os.environ, LATAUG_BENCH_FORCE_CPU="1")
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"].startswith("sg2ada_train_imgs_per_sec")
+    assert rec["value"] > 0 and rec["unit"] == "imgs/s"
+    assert "vs_baseline" in rec and len(rec["chains_s"]) == 2
+
+
 def test_inception_torchvision_mapping():
     """convert_torchvision_state must place conv/bn leaves at the right
     tree paths (verified by shape + value round-trip)."""
