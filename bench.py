@@ -59,8 +59,9 @@ def _start_watchdog():
     # (the backend is unknowable here — the hang IS backend init — so the
     # TPU-shaped name is used; CPU-smoke runs override the watchdog).
     policy = "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY")
+    unit = "samples/s"
     if "--train" in sys.argv or os.environ.get("LATAUG_BENCH_TRAIN"):
-        metric = "sg2ada_train_imgs_per_sec_256px"
+        metric, unit = "sg2ada_train_imgs_per_sec_256px", "imgs/s"
     elif policy:
         metric = "policy_samples_per_sec_256px_K10"
     else:
@@ -72,7 +73,7 @@ def _start_watchdog():
         print(json.dumps({
             "metric": metric,
             "value": 0.0,
-            "unit": "samples/s",
+            "unit": unit,
             "vs_baseline": 0.0,
             "error": f"watchdog: no bench result after {timeout_s:.0f}s "
                      "(TPU relay unavailable or stalled) — value is NOT "
@@ -266,7 +267,25 @@ def run_train_mode(on_tpu):
     else:
         cmd = [sys.executable, probe, "--smoke", "--batch", "4",
                "--steps", "2"]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    # The thread watchdog's os._exit would ORPHAN the probe child (which
+    # would keep occupying the serialized relay); use subprocess.run's
+    # timeout instead — it kills the child — and emit the same
+    # self-describing failure JSON the watchdog would have.
+    _disarm_watchdog()
+    timeout_s = float(os.environ.get("LATAUG_BENCH_WATCHDOG_S", "2700"))
+    try:
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=timeout_s if timeout_s > 0 else None)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "sg2ada_train_imgs_per_sec_256px",
+            "value": 0.0, "unit": "imgs/s", "vs_baseline": 0.0,
+            "error": f"watchdog: trainer probe produced no result after "
+                     f"{timeout_s:.0f}s (TPU relay unavailable or "
+                     "stalled) — value is NOT a measurement",
+        }), flush=True)
+        print("[bench --train] probe timed out — exiting", file=sys.stderr)
+        raise SystemExit(17)
     sys.stderr.write(out.stderr)
     if out.returncode != 0:
         sys.stderr.write(out.stdout)

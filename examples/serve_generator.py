@@ -48,32 +48,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 class GeneratorService:
     """Deserialized artifact + bucketed batching. Thread-safe: jax
-    executables are; the per-bucket first-call compile is guarded."""
+    executables are; only a bucket's FIRST call (its XLA compile) is
+    serialized — steady-state requests run concurrently."""
 
-    def __init__(self, artifact_path, buckets=(1, 2, 4, 8, 16, 32)):
+    def __init__(self, artifact_path, buckets=(1, 2, 4, 8, 16, 32),
+                 max_request_n=1024):
         from jax import export
 
         with open(artifact_path, 'rb') as f:
             self.exported = export.deserialize(f.read())
         avals = self.exported.in_avals
+        if len(avals[0].shape) != 2:
+            # A --which d export takes [B,C,H,W] images; this example is
+            # a GENERATOR service (z -> images) and cannot serve it.
+            raise ValueError(
+                f'expected a generator artifact with a [batch, z_dim] '
+                f'input, got input shape {tuple(avals[0].shape)} — a '
+                f'discriminator export is not servable here')
         self.z_dim = int(avals[0].shape[1])
         self.c_dim = int(avals[1].shape[1]) if len(avals) > 1 else 0
         lead = avals[0].shape[0]
         if isinstance(lead, int):
-            # Concrete-batch artifact (e.g. a D export): one bucket.
+            # Concrete-batch G artifact (--batch N export): one bucket.
             self.buckets = (int(lead),)
         else:
             self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.max_request_n = int(max_request_n)
         self.platforms = tuple(self.exported.platforms)
-        self._lock = threading.Lock()
+        self._compile_lock = threading.Lock()
+        self._compiled = set()
 
     def _call(self, z, c):
-        # jax compiles once per concrete shape; serialize first calls so
-        # concurrent requests on a fresh bucket don't compile twice.
-        with self._lock:
-            if self.c_dim:
-                return np.asarray(self.exported.call(z, c))
-            return np.asarray(self.exported.call(z))
+        # jax compiles once per concrete shape; serialize only a fresh
+        # bucket's first call so concurrent requests don't compile the
+        # same shape twice, then let executions run concurrently.
+        bucket = z.shape[0]
+        if bucket not in self._compiled:
+            with self._compile_lock:
+                if bucket not in self._compiled:
+                    out = np.asarray(self.exported.call(z, c)
+                                     if self.c_dim
+                                     else self.exported.call(z))
+                    self._compiled.add(bucket)
+                    return out
+        if self.c_dim:
+            return np.asarray(self.exported.call(z, c))
+        return np.asarray(self.exported.call(z))
 
     def generate(self, n, seed=0, labels=None):
         """[n, C, H, W] float32 images for seeded z draws. `labels`:
@@ -81,6 +101,11 @@ class GeneratorService:
         conditional)."""
         if n < 1:
             raise ValueError('n must be >= 1')
+        if n > self.max_request_n:
+            # Bound per-request host memory (z draws + accumulated
+            # output chunks); clients page through seeds instead.
+            raise ValueError(f'n {n} > max_request_n '
+                             f'{self.max_request_n}')
         if self.c_dim and labels is None:
             raise ValueError(f'conditional artifact: labels (len {n}, '
                              f'ids < {self.c_dim}) required')
@@ -146,10 +171,16 @@ def make_handler(service):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 req = json.loads(self.rfile.read(length) or b'{}')
+                if not isinstance(req, dict):
+                    raise ValueError('body must be a JSON object')
                 imgs = service.generate(int(req.get('n', 1)),
                                         seed=int(req.get('seed', 0)),
                                         labels=req.get('labels'))
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            # Malformed bodies surface as several exception types
+            # (n=null -> TypeError, labels=0 -> TypeError in len, ...);
+            # all are client errors — answer 400, never drop the
+            # connection with a handler traceback.
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
                 return self._send(400, dict(error=str(e)))
             return self._send(200, dict(
                 shape=list(imgs.shape), dtype=str(imgs.dtype),
@@ -162,9 +193,11 @@ def make_handler(service):
     return Handler
 
 
-def serve(artifact, host='127.0.0.1', port=8000, buckets=(1, 2, 4, 8, 16, 32)):
+def serve(artifact, host='127.0.0.1', port=8000,
+          buckets=(1, 2, 4, 8, 16, 32), max_request_n=1024):
     """Build the service and a bound ThreadingHTTPServer (not started)."""
-    service = GeneratorService(artifact, buckets=buckets)
+    service = GeneratorService(artifact, buckets=buckets,
+                               max_request_n=max_request_n)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     return service, httpd
 
@@ -212,6 +245,9 @@ def main(argv=None):
     ap.add_argument('--port', type=int, default=8000)
     ap.add_argument('--buckets', default='1,2,4,8,16,32',
                     help='batch bucket ladder (comma ints)')
+    ap.add_argument('--max-n', type=int, default=1024, dest='max_n',
+                    help='largest n a single request may ask for '
+                         '(bounds per-request host memory)')
     ap.add_argument('--cpu', action='store_true',
                     help='force the CPU jax backend')
     ap.add_argument('--selftest', action='store_true',
@@ -225,7 +261,8 @@ def main(argv=None):
     if not args.artifact:
         ap.error('--artifact is required (or --selftest)')
     buckets = tuple(int(b) for b in args.buckets.split(','))
-    service, httpd = serve(args.artifact, args.host, args.port, buckets)
+    service, httpd = serve(args.artifact, args.host, args.port, buckets,
+                           max_request_n=args.max_n)
     print(f'[serve] {args.artifact}: z_dim={service.z_dim} '
           f'c_dim={service.c_dim} buckets={service.buckets} on '
           f'http://{args.host}:{httpd.server_address[1]}')

@@ -55,6 +55,28 @@ def test_bench_watchdog_self_describing_on_stall():
     assert "watchdog" in rec["error"]
 
 
+def test_bench_train_watchdog_kills_probe_subprocess():
+    """--train mode replaces the thread watchdog with subprocess.run's
+    timeout (os._exit would ORPHAN the probe child on the serialized
+    relay): on expiry it kills the child, prints the self-describing
+    failure JSON with the TRAIN unit (imgs/s), and exits 17."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.argv = ['bench.py', '--train'];"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = dict(os.environ, LATAUG_BENCH_FORCE_CPU="1",
+               LATAUG_BENCH_WATCHDOG_S="3")
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 17, (res.returncode, res.stderr[-2000:])
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, res.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] == 0.0 and "watchdog" in rec["error"]
+    assert rec["unit"] == "imgs/s"
+
+
 @pytest.mark.slow
 def test_bench_policy_cpu_smoke():
     """--policy mode: one JSON line timing the public per-batch protocol

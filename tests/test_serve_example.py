@@ -21,40 +21,30 @@ import pytest
 from synthetic import make_checkpoint
 
 
-@pytest.fixture(scope='module')
-def artifact(tmp_path_factory):
+def _make_artifact(d, c_dim=0, which='g', batch=0):
     import os
     import sys
     sys.path.insert(0, os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     from scripts.export_model import build_export
 
-    d = tmp_path_factory.mktemp('serve')
     ckpt = str(d / 'ckpt.pkl')
-    make_checkpoint(ckpt)
-    art = str(d / 'g.stablehlo')
+    make_checkpoint(ckpt, c_dim=c_dim)
+    art = str(d / f'{which}.stablehlo')
     with open(art, 'wb') as f:
-        f.write(build_export(ckpt, which='g', platforms=('cpu',))
-                .serialize())
+        f.write(build_export(ckpt, which=which, batch=batch,
+                             platforms=('cpu',)).serialize())
     return art
+
+
+@pytest.fixture(scope='module')
+def artifact(tmp_path_factory):
+    return _make_artifact(tmp_path_factory.mktemp('serve'))
 
 
 @pytest.fixture(scope='module')
 def cond_artifact(tmp_path_factory):
-    import os
-    import sys
-    sys.path.insert(0, os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    from scripts.export_model import build_export
-
-    d = tmp_path_factory.mktemp('serve_cond')
-    ckpt = str(d / 'ckpt.pkl')
-    make_checkpoint(ckpt, c_dim=2)
-    art = str(d / 'g.stablehlo')
-    with open(art, 'wb') as f:
-        f.write(build_export(ckpt, which='g', platforms=('cpu',))
-                .serialize())
-    return art
+    return _make_artifact(tmp_path_factory.mktemp('serve_cond'), c_dim=2)
 
 
 def _service(artifact, **kw):
@@ -90,6 +80,17 @@ def test_bucketed_generate_pads_trims_and_chunks(artifact):
                   svc.generate(2, seed=4)).max() > 1e-4
     with pytest.raises(ValueError, match='labels not accepted'):
         svc.generate(2, labels=[0, 1])
+    with pytest.raises(ValueError, match='max_request_n'):
+        svc.generate(10 ** 9)  # per-request memory bound
+
+
+def test_discriminator_artifact_rejected(artifact, tmp_path):
+    """A --which d export takes images, not z: the generator service
+    must refuse it up front with a clear error, not serve nonsense."""
+    mod, _ = _service(artifact)
+    d_art = _make_artifact(tmp_path, which='d', batch=2)
+    with pytest.raises(ValueError, match='discriminator'):
+        mod.GeneratorService(d_art)
 
 
 def test_conditional_artifact_routes_labels(cond_artifact):
@@ -130,12 +131,15 @@ def test_http_surface_roundtrip_and_errors(artifact):
         np.testing.assert_allclose(imgs, service.generate(3, seed=7),
                                    rtol=1e-4, atol=1e-5)
 
-        bad = urllib.request.Request(
-            f'{url}/generate',
-            data=json.dumps(dict(n=2, labels=[0, 1])).encode(),
-            headers={'Content-Type': 'application/json'})
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            urllib.request.urlopen(bad)
-        assert ei.value.code == 400
+        # Every malformed body answers 400 (never a dropped connection):
+        # labels on an unconditional artifact, a non-object JSON body,
+        # and a null n (TypeError inside the handler).
+        for body in (dict(n=2, labels=[0, 1]), [1, 2], dict(n=None)):
+            bad = urllib.request.Request(
+                f'{url}/generate', data=json.dumps(body).encode(),
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad)
+            assert ei.value.code == 400, body
     finally:
         httpd.shutdown()
