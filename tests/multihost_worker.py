@@ -82,6 +82,47 @@ def main():
     ws_off, ws_local = local_rows(ws)
     assert img_off == ws_off == pid * 2, (img_off, ws_off, pid)
 
+    # ---- DP×TP leg: the same walk on a ('data','model') mesh spanning
+    # both processes (conv out-channels sharded over 'model') — the one
+    # TP combination the single-process tests cannot exercise. The model
+    # axis is innermost, so each process's 2 devices form one data row
+    # and row ownership matches the DP leg; local rows must agree with
+    # the DP leg's up to GSPMD reduction order.
+    from jax.sharding import PartitionSpec as P
+
+    mesh_tp = pmesh.get_mesh(n_model=2)
+    batch_tp = pmesh.batch_sharding(mesh_tp)
+    repl_tp = pmesh.replicated(mesh_tp)
+    bundle_tp_sh = pmesh.tp_tree_shardings(bundle, mesh_tp)
+    n_tp = sum(1 for s in jax.tree_util.tree_leaves(bundle_tp_sh)
+               if s.spec != P())
+    assert n_tp >= 3, f"TP placed only {n_tp} leaves"
+    gbundle_tp = jax.tree.map(
+        lambda x, sh: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), bundle, bundle_tp_sh)
+    gw0_tp = jax.make_array_from_process_local_data(
+        batch_tp, w_local, global_shape=tuple(w0.shape))
+    walk_tp = jax.jit(
+        fns.walk, in_shardings=(bundle_tp_sh, batch_tp, repl_tp, repl_tp),
+        out_shardings=(batch_tp, batch_tp, repl_tp))
+    img_tp, ws_tp, _ = walk_tp(gbundle_tp, gw0_tp,
+                               to_global(crop_pos, repl_tp),
+                               to_global(synth_key, repl_tp))
+    jax.block_until_ready((img_tp, ws_tp))
+    # Under TP the batch rows are replicated over the model axis: both
+    # local devices hold the same rows — dedupe shards by row index.
+    shards = {s.index[0].start or 0: np.asarray(s.data)
+              for s in img_tp.addressable_shards}
+    tp_off = min(shards)
+    img_tp_local = np.concatenate(
+        [shards[o] for o in sorted(shards)], axis=0)
+    assert tp_off == pid * 2, (tp_off, pid)
+    # atol 1e-2: TP re-associates the channel contractions; K walk steps
+    # amplify the drift (same bound as dryrun_multichip's TP leg — a
+    # wrong sharding produces O(1) garbage, still caught).
+    np.testing.assert_allclose(img_tp_local, img_local, rtol=1e-2,
+                               atol=1e-2)
+
     # ---- trainer step over the same 2-process cluster: loss + G-gradient
     # of the Gmain phase on the global batch must equal the single-process
     # values (the parent computes the reference). Params replicate across
@@ -172,9 +213,10 @@ def main():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     np.savez(out_path, offset=img_off, img=img_local, ws=ws_local,
-             g_loss=float(g_loss), g_grad_vec=grad_vec, resume_ok=1)
+             g_loss=float(g_loss), g_grad_vec=grad_vec, resume_ok=1,
+             tp_ok=1)
     print(f"[worker {pid}] OK rows [{img_off}:{img_off + img_local.shape[0]}]"
-          f" g_loss={float(g_loss):.6f} resume_ok", flush=True)
+          f" g_loss={float(g_loss):.6f} resume_ok tp_ok", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,7 +64,10 @@ def test_two_process_walk_matches_single(tmp_path):
     logs = []
     for i, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=1500)
+            # 40 min: two workers share ONE core on this host and the
+            # TP leg adds a third walk compile per worker; under
+            # machine-level contention 25 min was measured insufficient.
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -128,8 +131,10 @@ def test_two_process_walk_matches_single(tmp_path):
         np.testing.assert_allclose(z_npz["g_grad_vec"], grad_vec_ref,
                                    rtol=2e-3, atol=1e-5)
         # The in-worker train_loop interrupt/resume leg asserted bitwise
-        # equality itself; this key proves the leg ran to completion.
+        # equality itself, and the DP×TP walk leg asserted TP==DP local
+        # rows; these keys prove both legs ran to completion.
         assert int(z_npz["resume_ok"]) == 1
+        assert int(z_npz["tp_ok"]) == 1
 
 
 @pytest.mark.slow
