@@ -124,6 +124,40 @@ def test_calc_metric_fid_end_to_end(metric_ws, tmp_path):
     assert os.path.isfile(tmp_path / "metric-MR_nonrigid_CT-fid50k_full.jsonl")
 
 
+def test_sg2_metrics_analysis_sweep(metric_ws, tmp_path):
+    """The metric sweep driver (analysis/sg2_metrics_analysis.py; ref
+    analysis/sg2_metrics_analysis.py:76-130): discovers experiment dirs
+    by pattern (skipping dirs without img_aug), scores each modality,
+    recovers the name-encoded config (incl. the scientific-notation '-'
+    case), and writes metric-<exp>.jsonl per experiment."""
+    import shutil
+
+    from latentaugment_tpu.analysis import sg2_metrics_analysis as sma
+
+    os.environ["LATENTAUGMENT_CACHE_DIR"] = str(tmp_path / "cache")
+    run_dir = tmp_path / "runs"
+    exp = "aug_n_imgs_8-opt_lr_3e-05-w_lpips_10.0-opt_num_epochs_6"
+    shutil.copytree(os.path.join(metric_ws["aug_dir"], "img_aug"),
+                    run_dir / exp / "img_aug")
+    (run_dir / "not_an_experiment").mkdir()  # no img_aug -> skipped
+
+    res = sma.sweep(str(run_dir), pattern="n_imgs",
+                    dataset_zip=metric_ws["img_zip"],
+                    modalities="MR_nonrigid_CT,MR_MR_T2", resolution=32,
+                    split="train", batch_size=2,
+                    metrics=("fid50k_full",))
+    assert list(res) == [exp]
+    entries = res[exp]
+    assert {e["mode"] for e in entries} == {"MR_nonrigid_CT", "MR_MR_T2"}
+    for e in entries:
+        assert np.isfinite(e["value"]["fid50k_full"])
+        assert e["params"]["n_imgs"] == "8"
+        assert e["params"]["opt_lr"] == "3e-05"
+        assert e["params"]["w_lpips"] == "10.0"
+        assert e["params"]["opt_num_epochs"] == "6"
+    assert (run_dir / f"metric-{exp}.jsonl").is_file()
+
+
 def test_calc_metric_pr_end_to_end(metric_ws, tmp_path):
     os.environ["LATENTAUGMENT_CACHE_DIR"] = str(tmp_path / "cache")
     result = calc_metric(
