@@ -275,6 +275,14 @@ class AdaController:
         self._n_seen = int(sd['n_seen'])
         self._ticks = int(sd['ticks'])
 
+    def will_tick(self, n_pending):
+        """True iff feeding `n_pending` more steps reaches a tick — lets
+        the training loop defer the per-step host fetch of rt to tick
+        boundaries (p only changes at ticks, so deferral is exact; the
+        per-step device→host sync costs ~44 ms/step on the relay,
+        BENCH_NOTES.md)."""
+        return self._ticks + int(n_pending) >= self.interval
+
     def update(self, real_sign_mean, batch_size):
         """Feed mean(sign(D(real_logits))) for one step; returns p."""
         self._sign_sum += float(real_sign_mean) * batch_size

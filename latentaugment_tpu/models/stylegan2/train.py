@@ -427,6 +427,20 @@ def prefetch_iter(it, depth=2):
         yield item
 
 
+def _flush_ada(ada, pending, batch_size):
+    """Apply deferred per-step rt values to the ADA controller (ONE
+    device→host sync for the whole window) and clear the queue. After a
+    flush the controller state equals the eager per-step-update state
+    exactly — p never changes between ticks, so deferral is invisible
+    to the p trajectory, and flushing before each training-state save
+    keeps interrupt/resume bit-exact."""
+    p = ada.p
+    for rt in pending:
+        p = ada.update(float(rt), batch_size)
+    pending.clear()
+    return p
+
+
 def ema_beta(cfg, cur_nimg):
     """Per-step EMA decay: half-life ema_kimg kimg, with the torch
     trainer's startup ramp (ema_rampup limits the half-life to a
@@ -508,6 +522,7 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
 
     t_start = time.time()
     logs_acc = {}
+    ada_pending = []  # un-fetched per-step rt device scalars (see below)
     while cur_nimg < total_kimg * 1000:
         real, c = next(data_iter)
         real = jnp.asarray(real, jnp.float32)
@@ -537,7 +552,16 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
         state = fns.ema(state, ema_beta(cfg, cur_nimg))
 
         if ada is not None:
-            p = ada.update(float(logs_acc['Progress/rt']), cfg.batch_size)
+            # Defer the device→host rt fetch to tick boundaries: p only
+            # changes when the controller ticks, so accumulating the
+            # per-step rt means as DEVICE scalars and flushing them at
+            # the tick yields the identical p trajectory and controller
+            # state while paying the ~44 ms/step host sync once per
+            # ada_interval steps instead of every step (BENCH_NOTES.md
+            # measured the per-step sync at 3.5% of step time).
+            ada_pending.append(logs_acc['Progress/rt'])
+            if ada.will_tick(len(ada_pending)):
+                p = _flush_ada(ada, ada_pending, cfg.batch_size)
         cur_nimg += cfg.batch_size
         step += 1
 
@@ -564,6 +588,11 @@ def train_loop(g_cfg, d_cfg, data_iter, cfg, *, total_kimg=25000,
         if run_dir and snap_interval and \
                 (cur_nimg % snap_interval < cfg.batch_size
                  or cur_nimg >= total_kimg * 1000):
+            if ada is not None and ada_pending:
+                # Mid-window snapshot: fold the deferred rt values in so
+                # the saved controller state matches the eager-update
+                # state at this step (resume bit-exactness).
+                p = _flush_ada(ada, ada_pending, cfg.batch_size)
             snap_path = save_snapshot(run_dir, state, g_cfg, d_cfg, cur_nimg)
             save_training_state(run_dir, state, g_cfg=g_cfg, d_cfg=d_cfg,
                                 cfg=cfg, cur_nimg=cur_nimg, step=step,

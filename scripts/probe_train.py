@@ -89,8 +89,10 @@ def run_steps(fns, state, g_cfg, cfg, n_steps, batch, salt, ada_sync):
             state, _ = fns.d_reg(state, real, None, k4, p)
         if 'ema' in phases:
             state = fns.ema(state, 0.999)
-        if ada_sync and 'Progress/rt' in lg:
-            # the real loop's per-step host fetch for the ADA controller
+        if ada_sync and 'Progress/rt' in lg and (i + 1) % ada_sync == 0:
+            # the real loop's host fetch for the ADA controller: cadence
+            # 1 = the old per-step fetch, cfg.ada_interval (4) = the
+            # deferred-flush loop (train_loop ada_pending)
             rt = float(lg['Progress/rt'])
     host = np.asarray(jnp.sum(state['pl_mean']) +
                       jnp.sum(state['g']['mapping']['fc0']['weight'][0, :4]))
@@ -104,8 +106,10 @@ def main():
     ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--steps', type=int, default=16,
                     help='steps per chain (16 = one full d_reg interval)')
-    ap.add_argument('--ada-sync', action='store_true',
-                    help='include the per-step host rt fetch in the chain')
+    ap.add_argument('--ada-sync', type=int, nargs='?', const=1, default=0,
+                    help='fetch rt to host every N steps inside the chain '
+                         '(1 = the old per-step loop, 4 = the deferred '
+                         'ADA flush, 0/absent = off)')
     ap.add_argument('--remat', type=int, default=0)
     ap.add_argument('--res', type=int, default=256)
     ap.add_argument('--aug', default='ada', choices=['ada', 'noaug'])
@@ -154,7 +158,7 @@ def main():
         "ms_per_step": round(s_per_step * 1000, 1),
         "sec_per_kimg": round(sec_per_kimg, 1),
         "chains_s": [round(c, 2) for c in chains],
-        "ada_sync": bool(args.ada_sync),
+        "ada_sync": int(args.ada_sync),
         "aug": args.aug,
         "phases": os.environ.get('LATAUG_PROBE_PHASES', 'all'),
     }))

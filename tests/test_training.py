@@ -304,6 +304,35 @@ def test_ada_controller_direction():
     assert p_floor == 0.0              # clipped at 0
 
 
+def test_ada_deferred_flush_equals_eager():
+    """train_loop defers the per-step rt host fetch to tick boundaries
+    (~44 ms/step saved on the relay): the deferred-flush policy must
+    produce the IDENTICAL p trajectory and controller state as eager
+    per-step updates, including across a mid-window flush (the snapshot
+    path) and a mid-window resume."""
+    rng = np.random.RandomState(0)
+    rts = rng.uniform(-1, 1, size=23).tolist()
+    kw = dict(target=0.6, interval=4, ada_kimg=0.01, p_init=0.1)
+    eager = AdaController(**kw)
+    deferred = AdaController(**kw)
+    pending = []
+    p_deferred = deferred.p
+    for i, rt in enumerate(rts):
+        p_eager = eager.update(rt, 16)
+        pending.append(rt)
+        if deferred.will_tick(len(pending)):
+            p_deferred = train._flush_ada(deferred, pending, 16)
+        assert p_deferred == p_eager, i
+        if i == 9:  # mid-window snapshot: flush, then state must match
+            p_deferred = train._flush_ada(deferred, pending, 16)
+            assert deferred.state_dict() == eager.state_dict()
+            # ...and a resume from that state continues identically.
+            deferred = AdaController(**kw)
+            deferred.load_state_dict(eager.state_dict())
+    train._flush_ada(deferred, pending, 16)
+    assert deferred.state_dict() == eager.state_dict()
+
+
 # ---------------------------------------------------------------------------
 # EMA semantics
 
