@@ -277,8 +277,13 @@ def run_train_mode(on_tpu):
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                              timeout=timeout_s if timeout_s > 0 else None)
     except subprocess.TimeoutExpired:
+        # Failure metric name matches what a SUCCESS of this same run
+        # would emit (probe_train names it by resolution: 256px on TPU,
+        # 32px for the CPU smoke) so scrapers keyed on the metric see
+        # one name per mode regardless of outcome.
         print(json.dumps({
-            "metric": "sg2ada_train_imgs_per_sec_256px",
+            "metric": "sg2ada_train_imgs_per_sec_256px" if on_tpu
+                      else "sg2ada_train_imgs_per_sec_32px",
             "value": 0.0, "unit": "imgs/s", "vs_baseline": 0.0,
             "error": f"watchdog: trainer probe produced no result after "
                      f"{timeout_s:.0f}s (TPU relay unavailable or "

@@ -75,7 +75,10 @@ class GeneratorService:
             self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.max_request_n = int(max_request_n)
         self.platforms = tuple(self.exported.platforms)
-        self._compile_lock = threading.Lock()
+        # One lock PER bucket: a cold bucket's first call (XLA compile)
+        # must not queue behind an unrelated bucket's compile. The
+        # ladder is fixed at construction, so the dict needs no guard.
+        self._compile_locks = {b: threading.Lock() for b in self.buckets}
         self._compiled = set()
 
     def _call(self, z, c):
@@ -84,7 +87,7 @@ class GeneratorService:
         # same shape twice, then let executions run concurrently.
         bucket = z.shape[0]
         if bucket not in self._compiled:
-            with self._compile_lock:
+            with self._compile_locks[bucket]:
                 if bucket not in self._compiled:
                     out = np.asarray(self.exported.call(z, c)
                                      if self.c_dim
@@ -165,23 +168,59 @@ def make_handler(service):
                     platforms=list(service.platforms)))
             return self._send(404, dict(error='not found'))
 
+        # A /generate body is a tiny JSON dict; anything bigger is a
+        # mistake or abuse. Reject before reading so a missing/absurd
+        # Content-Length can neither stall the handler thread on a
+        # read-to-EOF nor exhaust host memory.
+        MAX_BODY = 1 << 20
+
+        def _parse_request(self):
+            """Validate transport + fields; raises ValueError (-> 400)
+            on anything the CLIENT got wrong, so the except below can
+            stay narrow and genuine server bugs surface as 500s."""
+            try:
+                length = int(self.headers.get('Content-Length') or '')
+            except ValueError:
+                raise ValueError('Content-Length required')
+            if length <= 0:
+                raise ValueError('Content-Length must be positive')
+            if length > self.MAX_BODY:
+                raise ValueError(f'request body > {self.MAX_BODY} bytes')
+            try:
+                req = json.loads(self.rfile.read(length))
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                raise ValueError('body is not valid JSON')
+            if not isinstance(req, dict):
+                raise ValueError('body must be a JSON object')
+            unknown = set(req) - {'n', 'seed', 'labels'}
+            if unknown:
+                raise ValueError(f'unknown fields: {sorted(unknown)}')
+            n, seed = req.get('n', 1), req.get('seed', 0)
+            if not isinstance(n, int) or isinstance(n, bool):
+                raise ValueError('n must be an integer')
+            if not isinstance(seed, int) or isinstance(seed, bool):
+                raise ValueError('seed must be an integer')
+            labels = req.get('labels')
+            if labels is not None:
+                if not isinstance(labels, list) or \
+                        not all(isinstance(x, int) and
+                                not isinstance(x, bool) for x in labels):
+                    raise ValueError('labels must be a list of ints')
+            return n, seed, labels
+
         def do_POST(self):
             if self.path != '/generate':
                 return self._send(404, dict(error='not found'))
             try:
-                length = int(self.headers.get('Content-Length', 0))
-                req = json.loads(self.rfile.read(length) or b'{}')
-                if not isinstance(req, dict):
-                    raise ValueError('body must be a JSON object')
-                imgs = service.generate(int(req.get('n', 1)),
-                                        seed=int(req.get('seed', 0)),
-                                        labels=req.get('labels'))
-            # Malformed bodies surface as several exception types
-            # (n=null -> TypeError, labels=0 -> TypeError in len, ...);
-            # all are client errors — answer 400, never drop the
-            # connection with a handler traceback.
-            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                n, seed, labels = self._parse_request()
+                imgs = service.generate(n, seed=seed, labels=labels)
+            except ValueError as e:   # client errors only (see above)
                 return self._send(400, dict(error=str(e)))
+            except Exception as e:    # noqa: BLE001 — a bug in the
+                # service must answer 500, not masquerade as a client
+                # error or drop the connection with a raw traceback.
+                return self._send(500, dict(
+                    error=f'{type(e).__name__}: {e}'))
             return self._send(200, dict(
                 shape=list(imgs.shape), dtype=str(imgs.dtype),
                 images_b64=_npy_b64(imgs)))

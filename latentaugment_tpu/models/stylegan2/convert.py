@@ -76,26 +76,32 @@ def _allowed_globals():
         ("__builtin__", "frozenset"): frozenset,
     }
     try:
+        import importlib
+        import warnings
+
         import numpy as _np
 
-        for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
-            try:
-                import importlib
-
-                m = importlib.import_module(mod)
-            except ImportError:
-                continue
-            table[(mod, "_reconstruct")] = m._reconstruct
-            table[(mod, "scalar")] = m.scalar
-        for mod in ("numpy.core.numeric", "numpy._core.numeric"):
-            try:
-                import importlib
-
-                m = importlib.import_module(mod)
-                # protocol-5 ndarray reconstruction (safe constructor).
-                table[(mod, "_frombuffer")] = m._frombuffer
-            except (ImportError, AttributeError):
-                pass
+        # Legacy pickles name the numpy.core.* module paths; touching
+        # them on numpy>=2 emits a DeprecationWarning on every import.
+        # The access is deliberate back-compat (the allowlist must match
+        # the names INSIDE old pickles), so scope-suppress it.
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", category=DeprecationWarning,
+                                    message=".*numpy[._]core.*")
+            for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+                try:
+                    m = importlib.import_module(mod)
+                except ImportError:
+                    continue
+                table[(mod, "_reconstruct")] = m._reconstruct
+                table[(mod, "scalar")] = m.scalar
+            for mod in ("numpy.core.numeric", "numpy._core.numeric"):
+                try:
+                    m = importlib.import_module(mod)
+                    # protocol-5 ndarray reconstruction (safe constructor).
+                    table[(mod, "_frombuffer")] = m._frombuffer
+                except (ImportError, AttributeError):
+                    pass
         table[("numpy", "ndarray")] = _np.ndarray
         table[("numpy", "dtype")] = _np.dtype
     except ImportError:

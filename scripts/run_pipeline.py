@@ -1,19 +1,24 @@
 """One-command demo of the full LatentAugment pipeline (the paper's
-evaluation loop): [optionally invert the dataset to W latents with the
-native projector] -> augment a dataset -> dump augmented pairs/latents ->
+evaluation loop): [optionally TRAIN a native StyleGAN2 on the dataset]
+-> [optionally invert the dataset to W latents with the native
+projector] -> augment a dataset -> dump augmented pairs/latents ->
 FID + precision/recall per modality -> UMAP manifold-coverage plot ->
 optimization-trajectory GIF.
 
 Chains the same components the reference drives through four separate
 scripts (backbone_latentaug.py, analysis/sg2_metrics_analysis.py,
-analysis/umap_analysis.py, misc/create_gif.py) — plus the inversion
-step the reference defers to NVIDIA's external projector.py
-(reference README.md:62-63): `--project` runs the TPU-native batched
-projector (scripts/project_dataset.py) and feeds its inversion zip to
-the policy, so the whole workflow is self-contained.
+analysis/umap_analysis.py, misc/create_gif.py) — plus the TWO external
+NVIDIA prerequisites the reference defers to (reference README.md:55-63):
+`--train` runs the native StyleGAN2-ADA trainer (scripts/train_sg2.py)
+on the pipeline's dataset zip and feeds its final snapshot forward, and
+`--project` runs the TPU-native batched projector
+(scripts/project_dataset.py) and feeds its inversion zip to the policy —
+so the whole train -> invert -> augment -> score workflow is one
+self-contained command.
 
     python scripts/run_pipeline.py --synthetic            # zero-download demo
     python scripts/run_pipeline.py --synthetic --project  # incl. native inversion
+    python scripts/run_pipeline.py --synthetic --train --project  # full loop
     python scripts/run_pipeline.py --dataroot ... --model_dir ...   # real data
 """
 
@@ -37,6 +42,9 @@ def main(argv=None):
 
     synthetic = pop_flag("--synthetic", False, is_bool=True)
     n_imgs = int(pop_flag("--n_imgs", "32"))
+    do_train = pop_flag("--train", False, is_bool=True)
+    train_kimg = float(pop_flag("--train_kimg", "0.2"))
+    train_batch = int(pop_flag("--train_batch", "4"))
     do_project = pop_flag("--project", False, is_bool=True)
     project_steps = int(pop_flag("--project_steps", "100"))
     # 16 is the measured-good TPU operating point (BENCH_NOTES.md round 3).
@@ -77,6 +85,42 @@ def main(argv=None):
     outdir = os.path.join(opt.checkpoints_dir, opt.name)
     for sub in ("img_aug", "latent_aug", "snap"):
         util_path.create_dir(os.path.join(outdir, sub))
+
+    # ---- Stage -1 (opt-in): native StyleGAN2 training -------------------
+    # Trains on the SAME dataset zip the policy augments and hands the
+    # final snapshot to every downstream stage — the checkpoint producer
+    # the reference defers to NVIDIA's external stylegan2-ada train.py
+    # (reference README.md:55-59).
+    if do_train:
+        import glob
+
+        from scripts.train_sg2 import main as train_main
+
+        train_dir = os.path.join(outdir, "train")
+        data_zip = os.path.join(opt.interim_dir, opt.dataset_aug,
+                                opt.dataset_name_aug + ".zip")
+        train_argv = [
+            "--data", data_zip, "--modalities", opt.modalities_aug,
+            "--split", opt.phase, "--resolution", str(opt.img_resolution),
+            "--outdir", train_dir, "--kimg", str(train_kimg),
+            "--batch", str(train_batch), "--snap", str(train_kimg),
+        ]
+        if synthetic:
+            # Workspace-scale tiny nets (seconds per step on CPU).
+            train_argv += ["--channel_base", "1024", "--channel_max", "64"]
+        print(f"[pipeline] training StyleGAN2 on {data_zip} "
+              f"({train_kimg} kimg, batch {train_batch}) -> {train_dir}")
+        train_main(train_argv)
+        snaps = sorted(glob.glob(
+            os.path.join(train_dir, "network-snapshot-*.pkl")))
+        assert snaps, f"trainer produced no snapshot under {train_dir}"
+        print(f"[pipeline] trained snapshot: {snaps[-1]}")
+        opt.model_dir = snaps[-1]  # resolve_stylegan_path takes file paths
+        if opt.init_w == "inv" and not do_project:
+            print("[pipeline] WARNING: --train replaced the checkpoint but "
+                  "--init_w inv will seed the walk from a PRE-EXISTING "
+                  "inversion zip that does not match the fresh generator — "
+                  "pass --project to re-invert against it")
 
     # ---- Stage 0 (opt-in): native latent inversion ---------------------
     # Produces the inversion zip the policy's --init_w inv path consumes,

@@ -172,6 +172,12 @@ def main():
     # fallback dir could resurrect a stale training-state-*.pkl from an
     # earlier run and compare mismatched runs. The parent test provides
     # a fresh tmp dir; manual invocations must too.
+    if len(sys.argv) < 5:
+        raise SystemExit(
+            f"usage: {sys.argv[0]} <coordinator> <num_processes> "
+            "<process_id> <run_root>\n  run_root: a SHARED, "
+            "per-invocation-unique directory (rank 0 writes snapshots/"
+            "training states there, other ranks glob them)")
     run_root = sys.argv[4]
     g_cfg3 = networks.generator_config(
         z_dim=16, w_dim=16, img_resolution=16, img_channels=2,

@@ -141,5 +141,39 @@ def test_http_surface_roundtrip_and_errors(artifact):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad)
             assert ei.value.code == 400, body
+
+        # Transport-level abuse is rejected BEFORE the body is read:
+        # an empty body (Content-Length 0) and an unknown field answer
+        # 400; an oversized declared body answers 400 without the
+        # handler slurping it into memory (advisor round 3).
+        for data in (b'', json.dumps(dict(n=1, evil=1)).encode()):
+            bad = urllib.request.Request(f'{url}/generate', data=data)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad)
+            assert ei.value.code == 400, data
+        big = urllib.request.Request(
+            f'{url}/generate', data=b'{"n": 1}',
+            headers={'Content-Length': str(64 << 20)})
+        with pytest.raises((urllib.error.HTTPError, ConnectionError,
+                            urllib.error.URLError)) as ei:
+            urllib.request.urlopen(big, timeout=10)
+        if isinstance(ei.value, urllib.error.HTTPError):
+            assert ei.value.code == 400
+
+        # A genuine SERVER bug answers 500, not a 400 blamed on the
+        # client (advisor round 3: the broad except misclassified them).
+        orig = service.generate
+        service.generate = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError('injected server bug'))
+        try:
+            bad = urllib.request.Request(
+                f'{url}/generate', data=json.dumps(dict(n=1)).encode())
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad)
+            assert ei.value.code == 500
+            assert 'injected server bug' in json.loads(
+                ei.value.read())['error']
+        finally:
+            service.generate = orig
     finally:
         httpd.shutdown()
