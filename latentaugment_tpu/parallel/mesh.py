@@ -52,9 +52,35 @@ def get_mesh(n_devices=None, devices=None, n_model=1):
     return Mesh(np.array(devices), ("data",))
 
 
+def get_hybrid_mesh(n_slices, per_slice=None, devices=None):
+    """('dcn', 'data') mesh for multi-slice pods (SURVEY §2.6: the DCN
+    axis is only ever multi-slice DP).
+
+    The OUTER axis maps across slices — in a real pod those edges are
+    data-center network, orders of magnitude slower than ICI — and the
+    inner axis stays within a slice. Multi-slice data parallelism
+    shards the batch over BOTH axes (hybrid_batch_sharding), so per-step
+    communication over DCN is only the small loss/grad all-reduces; all
+    activation-sized traffic stays on the ICI axis. Device order:
+    jax.devices() enumerates slice-by-slice, so reshape(n_slices,
+    per_slice) puts same-slice devices on the inner axis."""
+    if devices is None:
+        devices = jax.devices()
+    if per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"n_slices={n_slices} must divide {len(devices)} devices")
+        per_slice = len(devices) // n_slices
+    devices = devices[:n_slices * per_slice]
+    return Mesh(np.array(devices).reshape(n_slices, per_slice),
+                ("dcn", "data"))
+
+
 def batch_sharding(mesh):
-    """Shard the leading (batch) axis over 'data'; replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis over every data-parallel axis
+    present ('dcn' and/or 'data'); replicate the rest."""
+    dp_axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(dp_axes))
 
 
 def replicated(mesh):

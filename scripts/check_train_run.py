@@ -1,0 +1,157 @@
+"""Sanity-check a training run's dynamics from its log.jsonl
+(round-3 VERDICT #2: prove the trainer *trains*, not only that it
+steps — a wrong loss sign still steps finitely).
+
+Assertions (robust to dataset/scale, chosen so a sign/plumbing bug
+fails loudly while honest stochastic noise passes):
+  1. every logged value is finite, rt in [-1, 1], aug_p in [0, 1]
+  2. the run covered the expected kimg
+  3. D learns to score real data: Loss/D/real = softplus(-D(real))
+     falls from the first quarter to the last quarter of the run
+  4. the ADA controller responds in the CORRECT direction: over the
+     second half, if rt persistently exceeds the target, p must have
+     risen; persistently below, fallen (stylegan2-ada's
+     augment-probability feedback loop)
+  5. the R1 penalty stays bounded (exploding r1 = D gradient blowup)
+
+Also renders loss/rt/aug_p trajectories to <run_dir>/dynamics.png.
+
+    python scripts/check_train_run.py <run_dir> [--kimg 10] [--target 0.6]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def load_log(run_dir):
+    rows = []
+    with open(os.path.join(run_dir, "log.jsonl")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def check_rows(rows, *, expect_kimg=None, ada_target=0.6, require_ada=True):
+    """Raises AssertionError with a named reason on any dynamics
+    violation; returns a dict summary on success."""
+    import numpy as np
+
+    assert len(rows) >= 4, f"only {len(rows)} log rows — run too short"
+    keys = ("Loss/G/loss", "Loss/D/gen", "Loss/D/real", "Progress/rt",
+            "aug_p", "kimg")
+    series = {k: np.array([r[k] for r in rows], dtype=np.float64)
+              for k in keys if k in rows[0]}
+    for k, v in series.items():
+        assert np.isfinite(v).all(), \
+            f"{k} has non-finite values at rows {np.where(~np.isfinite(v))[0]}"
+    rt = series["Progress/rt"]
+    assert (rt >= -1.0 - 1e-6).all() and (rt <= 1.0 + 1e-6).all(), \
+        f"rt outside [-1,1]: [{rt.min()}, {rt.max()}]"
+    p = series["aug_p"]
+    assert (p >= 0).all() and (p <= 1.0).all(), \
+        f"aug_p outside [0,1]: [{p.min()}, {p.max()}]"
+
+    if expect_kimg is not None:
+        got = series["kimg"][-1]
+        assert got >= 0.95 * expect_kimg, \
+            f"run covered {got} kimg < expected {expect_kimg}"
+
+    # D separation: softplus(-D(real)) falls as D learns the data.
+    # MEDIAN of each quarter, not mean: single-step adversarial spikes
+    # (G landing a lucky batch) are normal GAN dynamics and must not
+    # fail the check (observed at the CPU smoke point).
+    q = max(3, len(rows) // 4)
+    d_real_first = float(np.median(series["Loss/D/real"][:q]))
+    d_real_last = float(np.median(series["Loss/D/real"][-q:]))
+    assert d_real_last < d_real_first, (
+        f"D real-score loss did not improve: first-quarter median "
+        f"{d_real_first:.4f} -> last-quarter median {d_real_last:.4f} "
+        "(wrong loss sign / optimizer not stepping D?)")
+
+    # ADA responsiveness over the second half (controller has state by
+    # then). Only judged when rt is PERSISTENTLY on one side of the
+    # target — an rt oscillating around the target legitimately leaves
+    # p near-flat.
+    ada = None
+    half = len(rows) // 2
+    rt_h, p_h = rt[half:], p[half:]
+    dp = float(p_h[-1] - p_h[0])
+    if require_ada:
+        if (rt_h > ada_target).mean() > 0.8:
+            assert dp > 0, (
+                f"rt persistently above target {ada_target} "
+                f"(mean {rt_h.mean():.3f}) but p fell/flat: dp={dp:.5f}")
+            ada = "p rose (rt > target)"
+        elif (rt_h < ada_target).mean() > 0.8:
+            assert dp < 0 or p_h[0] == 0.0, (
+                f"rt persistently below target {ada_target} "
+                f"(mean {rt_h.mean():.3f}) but p rose: dp={dp:.5f}")
+            ada = "p fell or pinned at 0 (rt < target)"
+        else:
+            ada = "rt straddles target — direction not judged"
+
+    r1 = np.array([r.get("Loss/r1_penalty", 0.0) for r in rows])
+    assert np.isfinite(r1).all() and (np.abs(r1[-q:]).mean()
+                                      < 10 * max(np.abs(r1[:q]).mean(),
+                                                 1.0)), \
+        "R1 penalty exploding"
+
+    return dict(
+        rows=len(rows), kimg=float(series["kimg"][-1]),
+        d_real_first=d_real_first, d_real_last=d_real_last,
+        rt_mean_last=float(rt[-q:].mean()),
+        p_final=float(p[-1]), ada=ada,
+        g_loss_last=float(series["Loss/G/loss"][-q:].mean()),
+    )
+
+
+def plot(rows, out_png):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kimg = [r["kimg"] for r in rows]
+    fig, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+    for k in ("Loss/G/loss", "Loss/D/gen", "Loss/D/real"):
+        axes[0].plot(kimg, [r[k] for r in rows], label=k)
+    axes[0].set_ylabel("loss")
+    axes[0].legend(fontsize=8)
+    axes[1].plot(kimg, [r["Progress/rt"] for r in rows], label="rt")
+    axes[1].axhline(0.6, ls="--", c="gray", lw=0.8, label="target")
+    axes[1].set_ylabel("ADA rt")
+    axes[1].legend(fontsize=8)
+    axes[2].plot(kimg, [r["aug_p"] for r in rows], label="aug_p")
+    axes[2].set_ylabel("aug p")
+    axes[2].set_xlabel("kimg")
+    axes[2].legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("run_dir")
+    ap.add_argument("--kimg", type=float, default=None,
+                    help="expected coverage (default: no check)")
+    ap.add_argument("--target", type=float, default=0.6)
+    ap.add_argument("--no-ada", action="store_true",
+                    help="run trained with aug=noaug/fixed")
+    args = ap.parse_args(argv)
+    rows = load_log(args.run_dir)
+    summary = check_rows(rows, expect_kimg=args.kimg,
+                         ada_target=args.target,
+                         require_ada=not args.no_ada)
+    png = plot(rows, os.path.join(args.run_dir, "dynamics.png"))
+    summary["plot"] = png
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

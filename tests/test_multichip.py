@@ -86,3 +86,29 @@ def test_pad_to_multiple():
     assert n == 5
     same, n2 = pmesh.pad_to_multiple(np.ones((8, 3)), 4)
     assert same.shape == (8, 3)
+
+
+@pytest.mark.slow
+def test_hybrid_mesh_walk_matches_single_device():
+    """2-slice ('dcn','data') hybrid mesh (multi-slice pod topology,
+    SURVEY §2.6): batch sharded over BOTH axes must reproduce the
+    unsharded walk (round-3 VERDICT #6)."""
+    fns, bundle, g_cfg = benchmark.build_synthetic_setup(
+        res=32, channel_base=1024, channel_max=64, num_epochs=2,
+        crop_size=16, manifold_items=8, w_lpips=0.0)
+    w0, crop_pos, synth_key = benchmark.example_walk_args(g_cfg, batch_size=8)
+
+    img_single, ws_single, _ = jax.jit(fns.walk)(bundle, w0, crop_pos,
+                                                 synth_key)
+
+    mesh = pmesh.get_hybrid_mesh(2)  # 2 x 4
+    batch = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    walk = jax.jit(fns.walk, in_shardings=(repl, batch, repl, repl),
+                   out_shardings=(batch, batch, repl))
+    img_h, ws_h, _ = walk(jax.device_put(bundle, repl),
+                          jax.device_put(w0, batch), crop_pos, synth_key)
+    np.testing.assert_allclose(np.asarray(img_single), np.asarray(img_h),
+                               rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ws_single), np.asarray(ws_h),
+                               rtol=1e-2, atol=2e-3)

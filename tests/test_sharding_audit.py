@@ -165,3 +165,63 @@ def test_audit_catches_deliberate_activation_gather():
     census = audit.collective_census(compiled.as_text())
     with pytest.raises(AssertionError, match="batch dim is not sharded"):
         audit.audit_walk_collectives(census)
+
+
+# ----------------------------------------------------------------------------
+# Per-device FLOPs scaling audit (round-3 VERDICT #3): the census catches
+# bad collectives; this catches the other silent scaling killer —
+# replicated compute.
+
+def _matmul_pipeline(w, x):
+    return jnp.tanh(x @ w) @ w
+
+
+def test_flops_scale_inverse_with_mesh_size():
+    """Per-partition FLOPs must be ~1/N of the single-device program at
+    the same global batch, for every mesh size the box can form."""
+    w = np.random.RandomState(0).randn(128, 128).astype(np.float32)
+    x = np.random.RandomState(1).randn(64, 128).astype(np.float32)
+    single = jax.jit(_matmul_pipeline).lower(w, x).compile()
+    f1 = audit.flops_per_device(single)
+    assert f1 > 0
+    for n in (2, 4, 8):
+        mesh = pmesh.get_mesh(n)
+        batch = pmesh.batch_sharding(mesh)
+        repl = pmesh.replicated(mesh)
+        sharded = jax.jit(_matmul_pipeline, in_shardings=(repl, batch),
+                          out_shardings=batch).lower(w, x).compile()
+        per_dev, got_single = audit.audit_flops_scaling(sharded, single, n)
+        assert abs(per_dev - f1 / n) / (f1 / n) < 0.2, (n, per_dev, f1)
+
+
+def test_flops_audit_catches_replicated_compute():
+    """A program whose inputs/outputs are replicated makes every device
+    do the FULL work — collective-clean, correct, zero scaling. The
+    FLOPs audit must flag it."""
+    w = np.random.RandomState(0).randn(128, 128).astype(np.float32)
+    x = np.random.RandomState(1).randn(64, 128).astype(np.float32)
+    single = jax.jit(_matmul_pipeline).lower(w, x).compile()
+    mesh = pmesh.get_mesh(8)
+    repl = pmesh.replicated(mesh)
+    replicated_prog = jax.jit(_matmul_pipeline, in_shardings=(repl, repl),
+                              out_shardings=repl).lower(w, x).compile()
+    # Sanity: it really is collective-clean.
+    audit.audit_walk_collectives(
+        audit.collective_census(replicated_prog.as_text()))
+    with pytest.raises(AssertionError, match="replicated across the mesh"):
+        audit.audit_flops_scaling(replicated_prog, single, 8)
+
+
+def test_hybrid_mesh_batch_sharding_spans_both_axes():
+    """('dcn','data') hybrid mesh: batch_sharding shards dim0 over BOTH
+    axes and the audit applies unchanged (multi-slice DP, SURVEY §2.6)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = pmesh.get_hybrid_mesh(2)  # 2 x 4 on the 8 virtual devices
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    assert pmesh.batch_sharding(mesh).spec == P(("dcn", "data"))
+    # 1-D meshes keep their spec (P over the single data axis).
+    assert pmesh.batch_sharding(pmesh.get_mesh(8)).spec == P(("data",))
+    with pytest.raises(ValueError, match="divide"):
+        pmesh.get_hybrid_mesh(3)
