@@ -60,17 +60,24 @@ def check_rows(rows, *, expect_kimg=None, ada_target=0.6, require_ada=True):
         assert got >= 0.95 * expect_kimg, \
             f"run covered {got} kimg < expected {expect_kimg}"
 
-    # D separation: softplus(-D(real)) falls as D learns the data.
-    # MEDIAN of each quarter, not mean: single-step adversarial spikes
-    # (G landing a lucky batch) are normal GAN dynamics and must not
-    # fail the check (observed at the CPU smoke point).
+    # D separation: softplus(-D(real)) < ln2 means the median real image
+    # scores POSITIVE — D separates real data. Pass when the run ends
+    # separated OR improves toward it; a wrong D-loss sign drives
+    # D(real) negative (loss above ln2 and rising), which fails both
+    # arms. MEDIAN of each quarter, not mean: single-step adversarial
+    # spikes (G landing a lucky batch) are normal GAN dynamics, and on
+    # a small dataset D separates within the FIRST quarter and then
+    # rides the ADA equilibrium, so "must keep falling" would be wrong
+    # (observed on the 10-kimg TPU run: 0.119 -> 0.162, rt pinned ~1).
     q = max(3, len(rows) // 4)
+    ln2 = float(np.log(2.0))
     d_real_first = float(np.median(series["Loss/D/real"][:q]))
     d_real_last = float(np.median(series["Loss/D/real"][-q:]))
-    assert d_real_last < d_real_first, (
-        f"D real-score loss did not improve: first-quarter median "
-        f"{d_real_first:.4f} -> last-quarter median {d_real_last:.4f} "
-        "(wrong loss sign / optimizer not stepping D?)")
+    assert d_real_last < ln2 or d_real_last < d_real_first, (
+        f"D never separates real data: first-quarter median "
+        f"{d_real_first:.4f} -> last-quarter median {d_real_last:.4f}, "
+        f"both arms fail (last >= ln2 {ln2:.3f} and not improving) — "
+        "wrong loss sign / optimizer not stepping D?")
 
     # ADA responsiveness over the second half (controller has state by
     # then). Only judged when rt is PERSISTENTLY on one side of the

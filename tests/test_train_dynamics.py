@@ -54,8 +54,14 @@ def test_nonfinite_loss_fails():
 def test_d_not_learning_fails():
     """A wrong D loss sign still steps finitely — softplus(-D(real))
     RISING across the run is the checker's tell."""
-    with pytest.raises(AssertionError, match="did not improve"):
+    with pytest.raises(AssertionError, match="never separates"):
         check_rows(_rows(d_real_slope=+0.01))
+    # An already-separated D riding the ADA equilibrium (low but gently
+    # rising loss) is HEALTHY and must pass (seen on the 10-kimg TPU run).
+    rows = _rows(d_real_slope=+0.0005)
+    for r in rows:
+        r["Loss/D/real"] = min(r["Loss/D/real"] - 0.55, 0.6)
+    check_rows(rows)
 
 
 def test_ada_wrong_direction_fails():
