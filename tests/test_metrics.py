@@ -124,6 +124,7 @@ def test_calc_metric_fid_end_to_end(metric_ws, tmp_path):
     assert os.path.isfile(tmp_path / "metric-MR_nonrigid_CT-fid50k_full.jsonl")
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_sg2_metrics_analysis_sweep(metric_ws, tmp_path):
     """The metric sweep driver (analysis/sg2_metrics_analysis.py; ref
     analysis/sg2_metrics_analysis.py:76-130): discovers experiment dirs
@@ -158,6 +159,7 @@ def test_sg2_metrics_analysis_sweep(metric_ws, tmp_path):
     assert (run_dir / f"metric-{exp}.jsonl").is_file()
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_calc_metric_pr_end_to_end(metric_ws, tmp_path):
     os.environ["LATENTAUGMENT_CACHE_DIR"] = str(tmp_path / "cache")
     result = calc_metric(

@@ -82,6 +82,7 @@ def test_projection_descends_and_recovers(tiny):
     assert mse_opt < 0.3 * mse_avg, (mse_opt, mse_avg)
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_project_cli_writes_policy_consumable_zip(tiny, tmp_path):
     from scripts.project_dataset import main as project_main
     from latentaugment_tpu.augments import manifold

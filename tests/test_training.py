@@ -93,6 +93,7 @@ def _keys():
 # Loss VALUE + GRADIENT parity, all four phases
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_g_main_loss_and_grads_match_torch(setup):
     g_t, d_t, gp, g_cfg, dp, d_cfg, z, real = setup
     fns = train.make_train_fns(g_cfg, d_cfg, _cfg())
@@ -474,6 +475,7 @@ def test_train_loop_snapshot_consumable(tmp_path):
     assert 'Loss/G/loss' in log[-1] and 'Loss/D/real' in log[-1]
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_train_loop_on_snapshot_hook(tmp_path):
     """on_snapshot fires once per written checkpoint with its real path —
     the hook snapshot-time metric evaluation rides (scripts/train_sg2.py
@@ -598,6 +600,7 @@ def test_d_reg_r1_chunks_exact(setup):
                                    err_msg=str(k1))
 
 
+@pytest.mark.slow  # >60 s measured on the one-core box (round-4 fast-lane diet)
 def test_buffers_frozen_through_training_steps(setup):
     """resample_filter / noise_const / w_avg are torch BUFFERS: a full
     g_main + g_reg + d_main + d_reg sequence must not move them through
