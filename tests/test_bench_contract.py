@@ -127,6 +127,7 @@ def test_bench_train_cpu_smoke():
     assert "vs_baseline" in rec and len(rec["chains_s"]) == 2
 
 
+@pytest.mark.slow  # 30-60 s on the one-core box (round-4 fast-lane diet)
 def test_inception_torchvision_mapping():
     """convert_torchvision_state must place conv/bn leaves at the right
     tree paths (verified by shape + value round-trip)."""

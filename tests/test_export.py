@@ -30,6 +30,7 @@ def ckpt(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow  # 30-60 s on the one-core box (round-4 fast-lane diet)
 def test_generator_export_symbolic_batch_roundtrip(ckpt, tmp_path):
     out = str(tmp_path / "g.shlo")
     export_main(["--checkpoint", ckpt, "--out", out])

@@ -106,6 +106,7 @@ def metric_ws(tmp_path_factory):
     return ws
 
 
+@pytest.mark.slow  # 30-60 s on the one-core box (round-4 fast-lane diet)
 def test_calc_metric_fid_end_to_end(metric_ws, tmp_path):
     os.environ["LATENTAUGMENT_CACHE_DIR"] = str(tmp_path / "cache")
     result = calc_metric(

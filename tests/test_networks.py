@@ -267,6 +267,7 @@ class _Reconstructable:
         return (tp._reconstruct_persistent_obj, (self.meta,))
 
 
+@pytest.mark.slow  # 30-60 s on the one-core box (round-4 fast-lane diet)
 def test_orbax_checkpoint_roundtrip(tmp_path, tiny_g):
     pytest.importorskip("orbax.checkpoint")
     g_params, g_cfg = tiny_g

@@ -110,6 +110,7 @@ def test_g_main_loss_and_grads_match_torch(setup):
     _assert_tree_close(grads, grads_t, what='g_main grads')
 
 
+@pytest.mark.slow  # 30-60 s on the one-core box (round-4 fast-lane diet)
 def test_g_pl_loss_and_grads_match_torch(setup):
     g_t, d_t, gp, g_cfg, dp, d_cfg, z, real = setup
     fns = train.make_train_fns(g_cfg, d_cfg, _cfg())
