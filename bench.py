@@ -101,15 +101,11 @@ def main():
         # (a single remote compile costs 300-500 s).
         jax.config.update("jax_platforms", "cpu")
 
+    from latentaugment_tpu import benchmark
+
     # Persistent compilation cache: the 256² K=10 walk is a large XLA
     # program; caching makes repeat bench runs start in seconds.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from latentaugment_tpu import benchmark
+    benchmark.enable_compile_cache()
 
     _start_watchdog()  # arm BEFORE the first device contact
     backend = jax.default_backend()

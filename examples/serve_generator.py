@@ -170,9 +170,13 @@ def make_handler(service):
 
         # A /generate body is a tiny JSON dict; anything bigger is a
         # mistake or abuse. Reject before reading so a missing/absurd
-        # Content-Length can neither stall the handler thread on a
-        # read-to-EOF nor exhaust host memory.
+        # Content-Length cannot exhaust host memory, and bound every
+        # socket read with a timeout so a LYING under-limit
+        # Content-Length (declared 1000, sent 8 bytes, socket held
+        # open) cannot pin a ThreadingHTTPServer thread forever — the
+        # size guard alone only covers the oversized case.
         MAX_BODY = 1 << 20
+        timeout = 30  # BaseHTTPRequestHandler: per-connection socket timeout
 
         def _parse_request(self):
             """Validate transport + fields; raises ValueError (-> 400)

@@ -19,6 +19,24 @@ from .models import vgg
 from .models.stylegan2 import networks
 
 
+def enable_compile_cache(min_compile_secs=1.0):
+    """Point this process at the repo's persistent compilation cache
+    (.jax_cache next to the repo root).
+
+    jax's cache is opt-in PER PROCESS; every bench/probe/driver entry
+    must call this (or pay the 60-500 s relay compile the cache exists
+    to avoid). One shared definition — bench.py, __graft_entry__ and
+    the probe scripts all ride it, so the path/threshold can never
+    drift between them (round-4 review). Returns the cache dir."""
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return cache_dir
+
+
 def _make_gd_configs(res, img_channels, channel_base, channel_max,
                      num_fp16_res, mbstd_group_size=4, c_dim=0):
     """The bench operating point's G/D configs, shared by the walk-only

@@ -142,12 +142,20 @@ def audit_flops_scaling(sharded_compiled, single_compiled, n_devices, *,
     assertion available without N real chips (round-3 VERDICT #3;
     replaces the DataParallel contract at ref util_latent_aug.py:20-33).
 
-    Returns (per_device, single) for reporting. Skips (returns counts
-    with a warning string) only if the backend reports no flops."""
+    Returns (per_device, single) for reporting. If the backend reports
+    no flops (either count non-positive) the gate CANNOT run: a loud
+    warning is printed and the sentinel counts are returned so the
+    caller's output shows 'audit skipped', never a fake measurement."""
+    import sys
+
     per_dev = flops_per_device(sharded_compiled)
     single = flops_per_device(single_compiled)
     if per_dev < 0 or single <= 0:
-        return per_dev, single  # backend without cost analysis
+        print(f"WARNING: flops scaling audit SKIPPED"
+              f"{' (' + label + ')' if label else ''} — backend reports "
+              f"no flops (per_device={per_dev}, single={single}); the "
+              "replicated-compute gate did not run", file=sys.stderr)
+        return per_dev, single
     ratio = per_dev / (single / n_devices)
     assert ratio <= tol, (
         f"flops scaling audit failed{' (' + label + ')' if label else ''}: "

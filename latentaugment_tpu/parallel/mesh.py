@@ -59,11 +59,12 @@ def get_hybrid_mesh(n_slices, per_slice=None, devices=None):
     The OUTER axis maps across slices — in a real pod those edges are
     data-center network, orders of magnitude slower than ICI — and the
     inner axis stays within a slice. Multi-slice data parallelism
-    shards the batch over BOTH axes (hybrid_batch_sharding), so per-step
-    communication over DCN is only the small loss/grad all-reduces; all
-    activation-sized traffic stays on the ICI axis. Device order:
-    jax.devices() enumerates slice-by-slice, so reshape(n_slices,
-    per_slice) puts same-slice devices on the inner axis."""
+    shards the batch over BOTH axes (batch_sharding below emits
+    P(('dcn','data')) on this mesh), so per-step communication over DCN
+    is only the small loss/grad all-reduces; all activation-sized
+    traffic stays on the ICI axis. Device order: jax.devices()
+    enumerates slice-by-slice, so reshape(n_slices, per_slice) puts
+    same-slice devices on the inner axis."""
     if devices is None:
         devices = jax.devices()
     if per_slice is None:
@@ -71,6 +72,10 @@ def get_hybrid_mesh(n_slices, per_slice=None, devices=None):
             raise ValueError(
                 f"n_slices={n_slices} must divide {len(devices)} devices")
         per_slice = len(devices) // n_slices
+    if len(devices) < n_slices * per_slice:
+        raise ValueError(
+            f"{n_slices}x{per_slice} mesh needs {n_slices * per_slice} "
+            f"devices, only {len(devices)} available")
     devices = devices[:n_slices * per_slice]
     return Mesh(np.array(devices).reshape(n_slices, per_slice),
                 ("dcn", "data"))

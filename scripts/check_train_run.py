@@ -89,10 +89,13 @@ def check_rows(rows, *, expect_kimg=None, ada_target=0.6, require_ada=True):
     dp = float(p_h[-1] - p_h[0])
     if require_ada:
         if (rt_h > ada_target).mean() > 0.8:
-            assert dp > 0, (
+            # Cap escape mirrors the fall arm's p==0 floor: a long run
+            # with rt pinned high eventually saturates p at the
+            # controller's 1.0 cap, where dp == 0 is correct behavior.
+            assert dp > 0 or p_h[0] >= 1.0, (
                 f"rt persistently above target {ada_target} "
                 f"(mean {rt_h.mean():.3f}) but p fell/flat: dp={dp:.5f}")
-            ada = "p rose (rt > target)"
+            ada = "p rose or pinned at cap (rt > target)"
         elif (rt_h < ada_target).mean() > 0.8:
             assert dp < 0 or p_h[0] == 0.0, (
                 f"rt persistently below target {ada_target} "

@@ -58,18 +58,27 @@ def chain_times(walk, bundle, w0, crop_pos, iters, salt, mode):
     for i in range(iters):
         keys = jax.random.split(jax.random.PRNGKey(1000 * salt + i), 2)
         img, ws, _ = walk(bundle, w_i, crop_pos, keys[0])
-        if mode == "scalar":
-            w_i = w0 + 1e-4 * jnp.mean(img) + 1e-6 * i
-        else:
-            # Full host materialization (what the policy's forward pays),
-            # then re-derive the next input from the HOST value so the
-            # chain dependency passes through the fetched bytes.
+        if mode == "fetch":
+            # Full host materialization (what the policy's forward
+            # pays): np.asarray blocks until the bytes are on host, so
+            # the download lands in the timed loop — but the NEXT input
+            # is derived ON DEVICE exactly as scalar mode does, so fetch
+            # adds ONLY the download leg. (Deriving the next w from the
+            # host value would re-upload it at dispatch, folding the
+            # upload into this mode too and making roundtrip-fetch
+            # structurally ~0 — the round-4 review caught that.)
             host_img = np.asarray(img)
-            w_next = np.asarray(w0) + np.float32(
+            assert np.isfinite(host_img[0, 0, 0, 0])
+        if mode == "roundtrip":
+            # Download AND re-derive the next input from the HOST value:
+            # the fresh numpy array is uploaded by the implicit
+            # device_put at dispatch (the policy feeds numpy w codes
+            # each batch). roundtrip - fetch isolates the upload leg.
+            host_img = np.asarray(img)
+            w_i = np.asarray(w0) + np.float32(
                 1e-4 * host_img.mean() + 1e-6 * i)
-            # roundtrip: hand the jit a host array (implicit device_put
-            # upload on dispatch — the policy feeds numpy w each batch).
-            w_i = w_next if mode == "roundtrip" else jnp.asarray(w_next)
+        else:
+            w_i = w0 + 1e-4 * jnp.mean(img) + 1e-6 * i
     if mode == "scalar":
         host = np.asarray(jnp.sum(img))  # force completion
         assert np.isfinite(host).all()
@@ -102,13 +111,10 @@ def main(argv=None):
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from latentaugment_tpu import benchmark
+
+    benchmark.enable_compile_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not args.smoke:

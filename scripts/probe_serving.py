@@ -57,11 +57,10 @@ def main(argv=None):
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from latentaugment_tpu import benchmark
+
+    benchmark.enable_compile_cache()
 
     from latentaugment_tpu.models.stylegan2 import convert, networks
     from scripts.export_model import build_export
@@ -127,7 +126,11 @@ def main(argv=None):
     top = buckets[-1]
     rng = np.random.RandomState(7)
     direct = []
-    svc.exported.call(rng.randn(top, svc.z_dim).astype(np.float32))
+    # np.asarray SYNCHRONIZES the warmup — a discarded async result would
+    # still be in flight on the serialized relay when the first timed rep
+    # dispatches, inflating direct[0] (round-4 review).
+    np.asarray(svc.exported.call(
+        rng.randn(top, svc.z_dim).astype(np.float32)))
     for r in range(args.reps):
         z = rng.randn(top, svc.z_dim).astype(np.float32)
         t0 = time.time()

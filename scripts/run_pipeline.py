@@ -115,6 +115,19 @@ def main(argv=None):
             os.path.join(train_dir, "network-snapshot-*.pkl")))
         assert snaps, f"trainer produced no snapshot under {train_dir}"
         print(f"[pipeline] trained snapshot: {snaps[-1]}")
+        # Resolve the LPIPS VGG from the ORIGINAL model_dir layout BEFORE
+        # overwriting it with the snapshot FILE path — resolve_vgg_path
+        # joins 'vgg16_lpips.pkl' onto model_dir, which a file path makes
+        # a nonexistent path, silently downgrading the projector and the
+        # walk to a seeded random-init VGG. The env var is how both the
+        # engine and the projector pick it up.
+        from latentaugment_tpu.augments.engine import resolve_vgg_path
+
+        vgg_from_layout = resolve_vgg_path(opt.model_dir)
+        if vgg_from_layout and not os.environ.get("LATENTAUGMENT_VGG16"):
+            os.environ["LATENTAUGMENT_VGG16"] = vgg_from_layout
+            print(f"[pipeline] LPIPS VGG carried over from the original "
+                  f"model_dir: {vgg_from_layout}")
         opt.model_dir = snaps[-1]  # resolve_stylegan_path takes file paths
         if opt.init_w == "inv" and not do_project:
             print("[pipeline] WARNING: --train replaced the checkpoint but "

@@ -120,8 +120,10 @@ def main(argv=None):
         with open(os.path.join(args.artifacts, "summary.json"), "w") as f:
             json.dump(summary, f, indent=1)
         print(f"[sustained] artifacts -> {args.artifacts}", file=sys.stderr)
-    if not args.outdir:
-        shutil.rmtree(root, ignore_errors=True)
+    # root always holds the ~50 MB phantom zip (and, without --outdir,
+    # the run dir too) — clean it unconditionally; an explicit --outdir
+    # lives outside root, so nothing the user asked to keep is touched.
+    shutil.rmtree(root, ignore_errors=True)
     print("[sustained] OK")
     return summary
 

@@ -40,13 +40,9 @@ def test_serving_bucket_selection_is_minimal():
     """The ladder must route a request to the SMALLEST bucket >= n and
     chunk oversize requests through the top bucket — the padding-waste
     bound the serving probe's 2x gate relies on."""
-    import importlib.util
+    from scripts.probe_serving import _load_serve_module
 
-    spec = importlib.util.spec_from_file_location(
-        "serve_generator_mod",
-        os.path.join(REPO, "examples", "serve_generator.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = _load_serve_module()
 
     calls = []
 

@@ -79,6 +79,13 @@ def test_ada_below_target_p_must_fall():
         check_rows(_rows(rt=0.1, dp=+0.002))
 
 
+def test_ada_saturated_cap_passes():
+    """p pinned at the controller's 1.0 cap with rt still above target
+    is correct behavior (dp == 0), mirroring the p==0 floor escape."""
+    s = check_rows(_rows(rt=0.95, dp=0.0, p0=1.0))
+    assert "pinned at cap" in s["ada"]
+
+
 def test_short_run_fails():
     with pytest.raises(AssertionError, match="too short"):
         check_rows(_rows(n=2))
