@@ -30,6 +30,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def carry_vgg_env(model_dir):
+    """Pin the LPIPS VGG resolved from `model_dir`'s layout into the
+    LATENTAUGMENT_VGG16 env var (if not already set) and return it.
+
+    Called BEFORE --train overwrites opt.model_dir with the snapshot
+    FILE path: resolve_vgg_path joins 'vgg16_lpips.pkl' onto model_dir,
+    which a file path turns into a nonexistent path — the projector and
+    the walk would silently fall back to a seeded random-init VGG."""
+    import os
+
+    from latentaugment_tpu.augments.engine import resolve_vgg_path
+
+    vgg = resolve_vgg_path(model_dir)
+    if vgg and not os.environ.get("LATENTAUGMENT_VGG16"):
+        os.environ["LATENTAUGMENT_VGG16"] = vgg
+    return vgg
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -115,17 +133,10 @@ def main(argv=None):
             os.path.join(train_dir, "network-snapshot-*.pkl")))
         assert snaps, f"trainer produced no snapshot under {train_dir}"
         print(f"[pipeline] trained snapshot: {snaps[-1]}")
-        # Resolve the LPIPS VGG from the ORIGINAL model_dir layout BEFORE
-        # overwriting it with the snapshot FILE path — resolve_vgg_path
-        # joins 'vgg16_lpips.pkl' onto model_dir, which a file path makes
-        # a nonexistent path, silently downgrading the projector and the
-        # walk to a seeded random-init VGG. The env var is how both the
-        # engine and the projector pick it up.
-        from latentaugment_tpu.augments.engine import resolve_vgg_path
-
-        vgg_from_layout = resolve_vgg_path(opt.model_dir)
-        if vgg_from_layout and not os.environ.get("LATENTAUGMENT_VGG16"):
-            os.environ["LATENTAUGMENT_VGG16"] = vgg_from_layout
+        # The env var is how both the engine and the projector pick the
+        # LPIPS VGG up once model_dir stops being the layout root.
+        vgg_from_layout = carry_vgg_env(opt.model_dir)
+        if vgg_from_layout:
             print(f"[pipeline] LPIPS VGG carried over from the original "
                   f"model_dir: {vgg_from_layout}")
         opt.model_dir = snaps[-1]  # resolve_stylegan_path takes file paths

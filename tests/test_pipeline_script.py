@@ -79,3 +79,28 @@ def test_pipeline_with_native_training():
     fids = [r["results"]["fid50k_full"] for r in metrics
             if r["metric"] == "fid50k_full"]
     assert len(fids) == 2 and all(np.isfinite(f) for f in fids)
+
+
+def test_carry_vgg_env_survives_model_dir_overwrite(tmp_path, monkeypatch):
+    """--train replaces opt.model_dir with a snapshot FILE; the LPIPS
+    VGG must be resolved from the ORIGINAL layout first and pinned in
+    the env (round-4 review: a file-path model_dir made resolve_vgg_path
+    return None -> silent random-init VGG in projector AND walk)."""
+    sys.path.insert(0, REPO)
+    from scripts.run_pipeline import carry_vgg_env
+
+    layout = tmp_path / "models"
+    layout.mkdir()
+    vgg = layout / "vgg16_lpips.pkl"
+    vgg.write_bytes(b"x")
+    monkeypatch.delenv("LATENTAUGMENT_VGG16", raising=False)
+    got = carry_vgg_env(str(layout))
+    assert got == str(vgg)
+    assert os.environ["LATENTAUGMENT_VGG16"] == str(vgg)
+    # An explicit env var always wins (never clobbered).
+    monkeypatch.setenv("LATENTAUGMENT_VGG16", "/explicit.pkl")
+    assert carry_vgg_env(str(layout)) == "/explicit.pkl"
+    # No VGG in the layout -> None, env untouched.
+    monkeypatch.delenv("LATENTAUGMENT_VGG16", raising=False)
+    assert carry_vgg_env(str(tmp_path / "empty")) is None
+    assert "LATENTAUGMENT_VGG16" not in os.environ
