@@ -62,6 +62,19 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
     }
 
 
+def _networks_for(cfg):
+    """Generator-module dispatch: SG2 and the alias-free (SG3) family share
+    the mapping/synthesis apply contract; the cfg's arch tag (set by
+    models.stylegan3.generator_config and preserved by convert's loaders)
+    picks the module. The discriminator is always the SG2 one — the
+    alias-free family trains against it unchanged."""
+    if cfg.get("arch") == "stylegan3":
+        from ..models.stylegan3 import networks as networks_sg3
+
+        return networks_sg3
+    return networks
+
+
 def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                   w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
@@ -77,6 +90,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
     """
     res = g_cfg.img_resolution
     num_ws = g_cfg.num_ws
+    gnet = _networks_for(g_cfg)
     modalities = list(range(n_modes))
     w_pix, w_lpips = float(w_pix), float(w_lpips)
     w_latent, w_disc = float(w_latent), float(w_disc)
@@ -102,8 +116,8 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         # remat: recompute block activations in the backward pass when the
         # stored residuals of the full G+D fwd would blow HBM (fp32 batch 32
         # at 256² needs ~22 GB vs the 16 GB of a v5e chip).
-        x = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
-                                     noise_mode="const", remat=remat)
+        x = gnet.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
+                                 noise_mode="const", remat=remat)
         return ws, x
 
     def term_latent(bundle, ws):
@@ -208,9 +222,9 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         else:
             w_aug = w_opt
         ws_aug = broadcast(w_aug)
-        img_aug = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg,
-                                           ws_aug, noise_mode="random",
-                                           rng=synth_key)
+        img_aug = gnet.synthesis_apply(bundle["g"]["synthesis"], g_cfg,
+                                       ws_aug, noise_mode="random",
+                                       rng=synth_key)
         return img_aug, ws_aug
 
     def walk(bundle, w0, crop_pos, synth_key, c=None):
@@ -225,20 +239,20 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
         return img_aug, ws_aug, traces
 
     def ganrand(bundle, z, synth_key, c=None):
-        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
-                                    truncation_psi=truncation_psi)
-        img = networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
-                                       noise_mode="random", rng=synth_key)
+        ws = gnet.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
+                                truncation_psi=truncation_psi)
+        img = gnet.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
+                                   noise_mode="random", rng=synth_key)
         return img, ws
 
     def z_to_w(bundle, z, c=None):
-        ws = networks.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
-                                    truncation_psi=truncation_psi)
+        ws = gnet.mapping_apply(bundle["g"]["mapping"], g_cfg, z, c=c,
+                                truncation_psi=truncation_psi)
         return ws[:, :1, :]
 
     def synthesize(bundle, ws, synth_key):
-        return networks.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
-                                        noise_mode="random", rng=synth_key)
+        return gnet.synthesis_apply(bundle["g"]["synthesis"], g_cfg, ws,
+                                    noise_mode="random", rng=synth_key)
 
     terms = {}
     if w_latent > 0.0:

@@ -38,7 +38,8 @@ def enable_compile_cache(min_compile_secs=1.0):
 
 
 def _make_gd_configs(res, img_channels, channel_base, channel_max,
-                     num_fp16_res, mbstd_group_size=4, c_dim=0):
+                     num_fp16_res, mbstd_group_size=4, c_dim=0,
+                     arch="stylegan2", **g_over):
     """The bench operating point's G/D configs, shared by the walk-only
     and policy benches so both compile the identical program (and hit
     the same persistent compilation cache).
@@ -47,10 +48,18 @@ def _make_gd_configs(res, img_channels, channel_base, channel_max,
     num_fp16_res=4) halves the walk's HBM footprint and feeds the MXU at
     its native precision; tiny CPU-smoke resolutions stay fp32."""
     n16 = num_fp16_res if res >= 64 else 0
-    g_cfg = networks.generator_config(
-        c_dim=c_dim, img_resolution=res, img_channels=img_channels,
-        channel_base=channel_base, channel_max=channel_max,
-        num_fp16_res=n16)
+    if arch == "stylegan3":
+        from .models.stylegan3 import networks as networks_sg3
+
+        g_cfg = networks_sg3.generator_config(
+            c_dim=c_dim, img_resolution=res, img_channels=img_channels,
+            channel_base=channel_base, channel_max=channel_max,
+            num_fp16_res=n16, **g_over)
+    else:
+        g_cfg = networks.generator_config(
+            c_dim=c_dim, img_resolution=res, img_channels=img_channels,
+            channel_base=channel_base, channel_max=channel_max,
+            num_fp16_res=n16, **g_over)
     d_cfg = networks.discriminator_config(
         c_dim=c_dim, img_resolution=res, img_channels=img_channels,
         channel_base=channel_base, channel_max=channel_max,
@@ -62,7 +71,8 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
                           channel_max=512, num_epochs=10, opt_lr=0.01,
                           crop_size=64, w_pix=0.1, w_lpips=10.0,
                           w_latent=0.001, w_disc=0.01, manifold_items=64,
-                          num_fp16_res=4, remat=None, seed=0, c_dim=0):
+                          num_fp16_res=4, remat=None, seed=0, c_dim=0,
+                          arch="stylegan2", **g_over):
     """Returns (fns, bundle, g_cfg) — un-jitted walk fns (taking the bundle
     as first arg) plus the device-state bundle on synthetic weights.
 
@@ -74,8 +84,11 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
     kg, kd, kv, km = jax.random.split(key, 4)
 
     g_cfg, d_cfg = _make_gd_configs(res, img_channels, channel_base,
-                                    channel_max, num_fp16_res, c_dim=c_dim)
-    g_params = networks.generator_init(kg, g_cfg)
+                                    channel_max, num_fp16_res, c_dim=c_dim,
+                                    arch=arch, **g_over)
+    from .augments.engine import _networks_for
+
+    g_params = _networks_for(g_cfg).generator_init(kg, g_cfg)
     d_params = networks.discriminator_init(kd, d_cfg)
     vgg_params = vgg.init_vgg(kv) if w_lpips > 0 else None
 

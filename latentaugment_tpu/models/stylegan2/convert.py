@@ -372,26 +372,50 @@ def discriminator_tree_from_state(state, cfg):
     return tree
 
 
+def _generator_config_from_kwargs(kw):
+    """generator_config dispatch on the saved 'arch' tag (default SG2)."""
+    kw = dict(kw)
+    arch = kw.pop("arch", "stylegan2")
+    if arch == "stylegan3":
+        from ..stylegan3 import networks as networks_sg3
+
+        return networks_sg3.generator_config(**kw)
+    return networks.generator_config(**kw)
+
+
 def load_stylegan(path, img_resolution=None, img_channels=None):
     """Full loader: pickle -> (G_params, G_cfg, D_params, D_cfg).
 
     Accepts NVIDIA persistence pickles ({'G_ema': ..., 'D': ...}) or our
     native checkpoints ({'G': {'cfg':..., 'params':...}, 'D': {...}}).
+    Alias-free (StyleGAN3) generators are detected from the payload's
+    class_name (or the native cfg's arch tag) and routed to
+    models/stylegan3; their D is the SG2 one and needs no dispatch.
     """
     obj = load_network_pickle(path)
 
     if isinstance(obj, dict) and "G" in obj and isinstance(obj["G"], dict) \
             and "params" in obj["G"]:
-        g_cfg = networks.generator_config(**obj["G"]["cfg"])
+        g_cfg = _generator_config_from_kwargs(obj["G"]["cfg"])
         d_cfg = networks.discriminator_config(**obj["D"]["cfg"]) if "D" in obj else None
         return (obj["G"]["params"], g_cfg,
                 obj.get("D", {}).get("params"), d_cfg)
 
     g_payload = obj["G_ema"] if "G_ema" in obj else obj.get("G")
     d_payload = obj.get("D")
-    g_cfg = infer_generator_config(g_payload, img_resolution, img_channels)
-    g_state = payload_state_dict(g_payload)
-    g_params = generator_tree_from_state(g_state, g_cfg)
+    class_name = str(g_payload.get("class_name", "")) \
+        if isinstance(g_payload, dict) else ""
+    if "stylegan3" in class_name:
+        from ..stylegan3 import convert as convert_sg3
+
+        g_cfg = convert_sg3.infer_generator_config(
+            g_payload, img_resolution, img_channels)
+        g_params = convert_sg3.generator_tree_from_state(
+            payload_state_dict(g_payload), g_cfg)
+    else:
+        g_cfg = infer_generator_config(g_payload, img_resolution, img_channels)
+        g_state = payload_state_dict(g_payload)
+        g_params = generator_tree_from_state(g_state, g_cfg)
     d_params, d_cfg = None, None
     if d_payload is not None:
         d_cfg = infer_discriminator_config(d_payload, img_resolution, img_channels)
@@ -454,12 +478,16 @@ def load_checkpoint_orbax(path):
     tree = ckptr.restore(os.path.abspath(path))
     with open(os.path.join(path, "configs.json")) as f:
         cfgs = json.load(f)
-    g_cfg = networks.generator_config(**cfgs["G"]) if "G" in cfgs else None
+    g_cfg = _generator_config_from_kwargs(cfgs["G"]) if "G" in cfgs else None
     d_cfg = networks.discriminator_config(**cfgs["D"]) if "D" in cfgs else None
     return tree.get("G"), g_cfg, tree.get("D"), d_cfg
 
 
 def _cfg_kwargs(cfg, kind):
+    if kind == "G" and cfg.get("arch") == "stylegan3":
+        from ..stylegan3.convert import cfg_kwargs as sg3_cfg_kwargs
+
+        return sg3_cfg_kwargs(cfg)
     if kind == "G":
         keys = ("z_dim", "c_dim", "w_dim", "img_resolution", "img_channels",
                 "channel_base", "channel_max", "num_mapping_layers", "conv_clamp",
