@@ -377,6 +377,8 @@ def test_sg3_walk_sharded_matches_single(sg3_walk_setup):
     img_m, ws_m, _ = sharded(bundle_r, jax.device_put(w0, b),
                              jax.device_put(crop_pos, r),
                              jax.device_put(key, r))
+    # Cross-device reduction re-association drifts the walk slightly
+    # (measured 1.8e-5 over 3 Adam steps on the 8-way CPU mesh).
     np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
                                atol=5e-4)
-    np.testing.assert_allclose(np.asarray(ws_m), np.asarray(ws_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ws_m), np.asarray(ws_s), atol=1e-4)
