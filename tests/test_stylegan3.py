@@ -382,3 +382,52 @@ def test_sg3_walk_sharded_matches_single(sg3_walk_setup):
     np.testing.assert_allclose(np.asarray(img_m), np.asarray(img_s),
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(ws_m), np.asarray(ws_s), atol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# Projector and StableHLO export over the alias-free family
+
+@pytest.mark.slow
+def test_projector_descends_on_sg3():
+    from latentaugment_tpu.models import vgg
+    from latentaugment_tpu.models.stylegan2 import projector
+
+    cfg = tiny_cfg(img_resolution=32, num_layers=4, z_dim=32, w_dim=32)
+    params = n3.generator_init(jax.random.PRNGKey(0), cfg)
+    vgg_params = vgg.get_vgg16()  # seeded random init (no egress)
+    key = jax.random.PRNGKey(2)
+    w_avg, w_std = projector.w_stats(params["mapping"], cfg, key,
+                                     n_samples=128)
+    z_true = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.z_dim))
+    w_true = n3.mapping_apply(params["mapping"], cfg, z_true,
+                              broadcast=False)[:, None, :]
+    target = n3.synthesis_apply(
+        params["synthesis"], cfg, jnp.repeat(w_true, cfg.num_ws, axis=1))
+    project = jax.jit(projector.make_project_fn(cfg, num_steps=40,
+                                                pix_weight=1.0))
+    w_opt, dists = project(params, vgg_params, target, w_avg, w_std,
+                           jax.random.PRNGKey(4))
+    dists = np.asarray(dists)
+    assert w_opt.shape == (2, 1, cfg.w_dim)
+    assert np.isfinite(dists).all()
+    assert dists[-1] < 0.6 * dists[0], f"no descent: {dists[0]} -> {dists[-1]}"
+
+
+@pytest.mark.slow
+def test_stablehlo_export_roundtrip_sg3(tmp_path, tiny_gen):
+    from jax import export as jexport
+
+    from scripts.export_model import main as export_main
+
+    cfg, params = tiny_gen
+    ckpt = str(tmp_path / "sg3.pkl")
+    convert_sg2.save_checkpoint(ckpt, g_params=params, g_cfg=cfg)
+    out = str(tmp_path / "g.shlo")
+    export_main(["--checkpoint", ckpt, "--out", out])
+    g = jexport.deserialize(open(out, "rb").read())
+    for b in (1, 3):  # symbolic batch dim survives
+        z = np.random.RandomState(b).randn(b, cfg.z_dim).astype(np.float32)
+        got = np.asarray(g.call(z))
+        ref = np.asarray(n3.generator_apply(params, cfg, jnp.asarray(z),
+                                            noise_mode="const"))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
