@@ -18,7 +18,7 @@ from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
                    gain=None, slope=0.2, clamp=None, flip_filter=False,
-                   impl='xla'):
+                   impl='auto'):
     """y = downsample(fd, clamp(lrelu(gain * upsample(fu, pad(x + b))))).
 
     Exactly the reference's decomposition (_filtered_lrelu_ref,

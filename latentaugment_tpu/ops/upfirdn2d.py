@@ -139,10 +139,17 @@ def _auto_wants_pallas(f, up, down, x=None):
     return jax.default_backend() == 'tpu'
 
 
-# Matmul-FIR auto selection: probed on TPU hardware (BENCH_NOTES.md
-# round 3) and measured 3-11% SLOWER than the shift-add default at every
-# width gate — stays off by default as a validated alternative.
-# LATAUG_MATMUL_FIR=1 enables it process-wide (bench/probe A-B knob).
+# Matmul-FIR auto selection. Two measured regimes (BENCH_NOTES.md):
+#   * NARROW taps (SG2's 4-tap blurs): probed round 3, 3-11% SLOWER than
+#     shift-add at every width gate — stays off.
+#   * WIDE taps (the alias-free family's 12-24-tap Kaiser filters on big
+#     upsampled canvases): probed round 4, 3.9x FASTER (SG3-T 256²
+#     synthesis 2440 -> 624 ms/batch) — the shift-add chain is HBM
+#     bandwidth-bound at ~T passes over multi-GB tensors, while the band
+#     matrix rides the MXU at compute speed.
+# Default: auto-divert separable FIRs with >= LATAUG_MATMUL_FIR_MINTAPS
+# taps (8) on >= LATAUG_MATMUL_FIR_MINW (64) wide images.
+# LATAUG_MATMUL_FIR=1 force-enables it for ALL tap counts (A-B knob).
 import os as _os
 
 _ALLOW_MATMUL_BLUR = _os.environ.get(
@@ -156,18 +163,22 @@ def set_allow_matmul_blur(allow):
 
 
 def _auto_wants_matmul(f, x):
-    """Divert separable FIRs to the banded-matmul path (MXU) when enabled.
+    """Divert separable FIRs to the banded-matmul path (MXU).
 
     The band matrix is dense [len_in, len_out]; tiny images waste MXU
     tiles and the relative FLOP blow-up (len_in/taps per output) is
-    amortized only when the contraction dim is large, so gate on W
-    (threshold probe-tunable via LATAUG_MATMUL_FIR_MINW)."""
-    if not _ALLOW_MATMUL_BLUR:
-        return False
+    amortized only when the contraction dim is large, so gate on W.
+    Narrow filters (< min_taps) lose to shift-add (measured, round 3)
+    unless force-enabled; wide filters win big (measured, round 4)."""
     if f is None or f.ndim != 1:
         return False
     min_w = int(_os.environ.get("LATAUG_MATMUL_FIR_MINW", "64"))
-    return x is not None and int(x.shape[-1]) >= min_w
+    if x is None or int(x.shape[-1]) < min_w:
+        return False
+    if _ALLOW_MATMUL_BLUR:
+        return True
+    min_taps = int(_os.environ.get("LATAUG_MATMUL_FIR_MINTAPS", "8"))
+    return int(f.shape[0]) >= min_taps
 
 
 def _axis_band_matrix(fk, n_in, n_out, up, down, pad0):

@@ -69,7 +69,13 @@ def main():
     ap.add_argument("--radial", action="store_true",
                     help="rotation-equivariant ('-r') config: 1x1 convs, "
                          "double channels, radial down filters")
+    ap.add_argument("--remat", default="true",
+                    help="walk-mode remat: true/false or an int out_size "
+                         "threshold (SG3 canvases are larger than SG2's — "
+                         "unchecked b32 residuals can blow HBM)")
     args = ap.parse_args()
+    remat = args.remat == "true" if args.remat in ("true", "false") \
+        else int(args.remat)
 
     g_over = {}
     if args.radial:
@@ -79,7 +85,8 @@ def main():
 
     fns, bundle, g_cfg = benchmark.build_synthetic_setup(
         res=args.res, num_epochs=args.k, channel_base=cb, channel_max=cm,
-        arch="stylegan3", **g_over)
+        arch="stylegan3", remat=remat if args.mode == "walk" else False,
+        **g_over)
     bundle = jax.device_put(bundle)
     backend = jax.devices()[0].platform
     print(f"[probe_sg3] backend={backend} mode={args.mode} res={args.res} "
