@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import vgg
+from ..models import networks_for, vgg
 from ..models.stylegan2 import convert, networks
 from ..utils import util_general, util_path
 from ..utils.util_easydict import EasyDict
@@ -62,19 +62,6 @@ def make_bundle(g_params, d_params=None, vgg_params=None, W_summary=None,
     }
 
 
-def _networks_for(cfg):
-    """Generator-module dispatch: SG2 and the alias-free (SG3) family share
-    the mapping/synthesis apply contract; the cfg's arch tag (set by
-    models.stylegan3.generator_config and preserved by convert's loaders)
-    picks the module. The discriminator is always the SG2 one — the
-    alias-free family trains against it unchanged."""
-    if cfg.get("arch") == "stylegan3":
-        from ..models.stylegan3 import networks as networks_sg3
-
-        return networks_sg3
-    return networks
-
-
 def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
                   w_disc, num_epochs=10, opt_lr=0.01, crop_size=64,
                   preprocess="center_random_crop", soft_aug=False, alpha=1.0,
@@ -90,7 +77,7 @@ def make_walk_fns(g_cfg, d_cfg=None, *, n_modes, w_pix, w_lpips, w_latent,
     """
     res = g_cfg.img_resolution
     num_ws = g_cfg.num_ws
-    gnet = _networks_for(g_cfg)
+    gnet = networks_for(g_cfg)
     modalities = list(range(n_modes))
     w_pix, w_lpips = float(w_pix), float(w_lpips)
     w_latent, w_disc = float(w_latent), float(w_disc)

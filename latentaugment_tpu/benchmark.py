@@ -48,18 +48,12 @@ def _make_gd_configs(res, img_channels, channel_base, channel_max,
     num_fp16_res=4) halves the walk's HBM footprint and feeds the MXU at
     its native precision; tiny CPU-smoke resolutions stay fp32."""
     n16 = num_fp16_res if res >= 64 else 0
-    if arch == "stylegan3":
-        from .models.stylegan3 import networks as networks_sg3
+    from .models import networks_for
 
-        g_cfg = networks_sg3.generator_config(
-            c_dim=c_dim, img_resolution=res, img_channels=img_channels,
-            channel_base=channel_base, channel_max=channel_max,
-            num_fp16_res=n16, **g_over)
-    else:
-        g_cfg = networks.generator_config(
-            c_dim=c_dim, img_resolution=res, img_channels=img_channels,
-            channel_base=channel_base, channel_max=channel_max,
-            num_fp16_res=n16, **g_over)
+    g_cfg = networks_for({"arch": arch}).generator_config(
+        c_dim=c_dim, img_resolution=res, img_channels=img_channels,
+        channel_base=channel_base, channel_max=channel_max,
+        num_fp16_res=n16, **g_over)
     d_cfg = networks.discriminator_config(
         c_dim=c_dim, img_resolution=res, img_channels=img_channels,
         channel_base=channel_base, channel_max=channel_max,
@@ -86,9 +80,9 @@ def build_synthetic_setup(res=256, img_channels=2, channel_base=32768,
     g_cfg, d_cfg = _make_gd_configs(res, img_channels, channel_base,
                                     channel_max, num_fp16_res, c_dim=c_dim,
                                     arch=arch, **g_over)
-    from .augments.engine import _networks_for
+    from .models import networks_for
 
-    g_params = _networks_for(g_cfg).generator_init(kg, g_cfg)
+    g_params = networks_for(g_cfg).generator_init(kg, g_cfg)
     d_params = networks.discriminator_init(kd, d_cfg)
     vgg_params = vgg.init_vgg(kv) if w_lpips > 0 else None
 

@@ -38,21 +38,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import networks
-from .. import vgg
+from .. import networks_for, vgg
 
 from ...ops.adam import adam_step
-
-
-def _networks_for(cfg):
-    """SG2 / alias-free (SG3) generator-module dispatch on cfg.arch —
-    the projector descends through whichever synthesis the checkpoint
-    carries (the VGG objective is arch-independent)."""
-    if cfg.get("arch") == "stylegan3":
-        from ..stylegan3 import networks as networks_sg3
-
-        return networks_sg3
-    return networks
 
 
 def w_stats(mapping_params, g_cfg, key, n_samples=10000):
@@ -70,8 +58,8 @@ def w_stats(mapping_params, g_cfg, key, n_samples=10000):
     if g_cfg.c_dim > 0:
         idx = jax.random.randint(ck, (n_samples,), 0, g_cfg.c_dim)
         c = jax.nn.one_hot(idx, g_cfg.c_dim)
-    w = _networks_for(g_cfg).mapping_apply(mapping_params, g_cfg, z, c=c,
-                                           broadcast=False)  # [N, w_dim]
+    w = networks_for(g_cfg).mapping_apply(mapping_params, g_cfg, z, c=c,
+                                          broadcast=False)  # [N, w_dim]
     w_avg = jnp.mean(w, axis=0)
     w_std = jnp.sqrt(jnp.sum(jnp.square(w - w_avg)) / n_samples)
     return w_avg.reshape(1, 1, -1), w_std
@@ -90,7 +78,7 @@ def make_project_fn(g_cfg, num_steps=1000, initial_lr=0.1,
     num_ws = g_cfg.num_ws
     n_modes = g_cfg.img_channels
     num_steps = int(num_steps)
-    gnet = _networks_for(g_cfg)
+    gnet = networks_for(g_cfg)
 
     def perceptual(vgg_params, x):
         # Fold modalities into the batch (one VGG pass, batch-major so a

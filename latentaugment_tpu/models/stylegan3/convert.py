@@ -53,16 +53,10 @@ def generator_tree_from_state(state, cfg):
 
     tree = {"mapping": {}, "synthesis": {}}
     for name, value in state.items():
-        if name.startswith("mapping.fc") or name == "mapping.embed":
-            _, *rest = name.split(".")
-            node = tree["mapping"]
-            for part in rest[:-1]:
-                node = node.setdefault(part, {})
-            node[rest[-1]] = np.asarray(value, np.float32)
-        elif name.startswith("mapping.embed."):
+        # All leaves (fc{i}.*, embed.*, w_avg, input.*, L*.*) are plain
+        # float32 tensors at nested paths — one rule covers both nets.
+        if name.startswith("mapping."):
             _set_path(tree["mapping"], name[len("mapping."):], value)
-        elif name == "mapping.w_avg":
-            tree["mapping"]["w_avg"] = np.asarray(value, np.float32)
         elif name.startswith("synthesis."):
             _set_path(tree["synthesis"], name[len("synthesis."):], value)
         else:

@@ -98,6 +98,9 @@ def generator_config(z_dim=512, c_dim=0, w_dim=512, img_resolution=256,
         prev = max(idx - 1, 0)
         is_torgb = idx == num_layers
         is_critically_sampled = idx >= num_layers - num_critical
+        # Plan-time view only: synthesis_apply re-derives this from the
+        # cfg's LIVE num_fp16_res (a runtime knob — engine.load_stylegan
+        # overwrites it post-load, and ingested checkpoints arrive with 0).
         use_fp16 = bool(sampling_rates[idx] * (2 ** num_fp16_res)
                         > img_resolution)
         in_sr, out_sr = float(sampling_rates[prev]), float(sampling_rates[idx])
@@ -309,10 +312,18 @@ def synthesis_apply(params, cfg, ws, noise_mode='const', rng=None,
             return remat
         return out_size >= int(remat)
 
-    use_fp16 = cfg.num_fp16_res > 0
+    # Derive per-layer bf16 from the LIVE cfg.num_fp16_res, not the
+    # layer.use_fp16 baked at plan time: num_fp16_res is a runtime knob
+    # (engine.load_stylegan sets it post-load; SG3 ingestion stores 0),
+    # and SG2 likewise derives its fp16 blocks at apply time. Formula as
+    # the plan's: bf16 once the sampling rate is within num_fp16_res
+    # doublings of the output resolution.
+    n16 = int(cfg.num_fp16_res)
     x = input_apply(params['input'], cfg, ws[:, 0], transform=transform)
     for i, layer in enumerate(cfg.layers):
-        dtype = jnp.bfloat16 if (use_fp16 and layer.use_fp16) else jnp.float32
+        lf16 = n16 > 0 and (layer.out_sampling_rate * (2 ** n16)
+                            > cfg.img_resolution)
+        dtype = jnp.bfloat16 if lf16 else jnp.float32
 
         def fn(p, x, w, layer=layer, dtype=dtype):
             return layer_apply(p, cfg, layer, x, w, dtype=dtype)

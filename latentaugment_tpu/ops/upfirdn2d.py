@@ -169,7 +169,11 @@ def _auto_wants_matmul(f, x):
     tiles and the relative FLOP blow-up (len_in/taps per output) is
     amortized only when the contraction dim is large, so gate on W.
     Narrow filters (< min_taps) lose to shift-add (measured, round 3)
-    unless force-enabled; wide filters win big (measured, round 4)."""
+    unless force-enabled; wide filters win big (measured, round 4).
+    Both measurements are MXU measurements: the default divert applies
+    on the TPU backend only (on CPU the dense band pays the ~len/taps
+    FLOP blow-up with no systolic array to hide it; the force knob
+    still wins everywhere for parity tests)."""
     if f is None or f.ndim != 1:
         return False
     min_w = int(_os.environ.get("LATAUG_MATMUL_FIR_MINW", "64"))
@@ -177,6 +181,10 @@ def _auto_wants_matmul(f, x):
         return False
     if _ALLOW_MATMUL_BLUR:
         return True
+    import jax
+
+    if jax.default_backend() != 'tpu':
+        return False
     min_taps = int(_os.environ.get("LATAUG_MATMUL_FIR_MINTAPS", "8"))
     return int(f.shape[0]) >= min_taps
 

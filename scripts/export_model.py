@@ -47,13 +47,13 @@ def build_export(checkpoint, which='g', batch=0, truncation=1.0,
     from jax import export
 
     from latentaugment_tpu.models.stylegan2 import convert, networks
-    from latentaugment_tpu.augments.engine import _networks_for
+    from latentaugment_tpu.models import networks_for
 
     g_params, g_cfg, d_params, d_cfg = convert.load_stylegan(checkpoint)
 
     if which == 'g':
         cfg, params = g_cfg, g_params
-        gnet = _networks_for(cfg)  # SG2 or the alias-free (SG3) family
+        gnet = networks_for(cfg)  # SG2 or the alias-free (SG3) family
         lead = export.symbolic_shape('b')[0] if not batch else int(batch)
         data_spec = jax.ShapeDtypeStruct((lead, cfg.z_dim), jnp.float32)
 

@@ -478,11 +478,15 @@ def test_upfirdn2d_fuzz_vs_ref():
 
 
 def test_auto_impl_diverts_wide_filters_to_matmul():
-    """Round-4 default: separable FIRs with >= 8 taps on >= 64-wide
+    """Round-4 default: on TPU, separable FIRs with >= 8 taps on >= 64-wide
     images ride the MXU band-matmul path (measured 3.9x on SG3-T 256²
     synthesis); narrow (SG2's 4-tap) filters stay on shift-add (measured
-    3-11% slower as matmuls, round 3). Routing + numerical parity."""
+    3-11% slower as matmuls, round 3), and non-TPU backends never divert
+    by default (both measurements are MXU measurements; the dense band's
+    FLOP blow-up has no systolic array to hide it on CPU). Routing +
+    numerical parity of the forced path."""
     import importlib
+    import unittest.mock as mock
 
     uf_mod = importlib.import_module("latentaugment_tpu.ops.upfirdn2d")
 
@@ -492,16 +496,25 @@ def test_auto_impl_diverts_wide_filters_to_matmul():
         x64 = jnp.asarray(rand(1, 2, 64, 64))
         wide = setup_filter(np.kaiser(12, 8.0), separable=True)
         narrow = setup_filter([1, 3, 3, 1], separable=True)
+        # On the CPU test backend, auto never selects matmul...
+        assert not uf_mod._auto_wants_matmul(wide, x64)
+        with mock.patch("jax.default_backend", return_value="tpu"):
+            assert uf_mod._auto_wants_matmul(wide, x64)
+            assert not uf_mod._auto_wants_matmul(narrow, x64)      # taps gate
+            assert not uf_mod._auto_wants_matmul(wide, x64[..., :32])  # width
+            assert not uf_mod._auto_wants_matmul(wide.reshape(1, -1) *
+                                                 wide.reshape(-1, 1), x64)
+        # ...but the force knob diverts everywhere (parity-test lane).
+        uf_mod.set_allow_matmul_blur(True)
         assert uf_mod._auto_wants_matmul(wide, x64)
-        assert not uf_mod._auto_wants_matmul(narrow, x64)          # taps gate
-        assert not uf_mod._auto_wants_matmul(wide, x64[..., :32])  # width gate
-        assert not uf_mod._auto_wants_matmul(wide.reshape(1, -1) *
-                                             wide.reshape(-1, 1), x64)  # 2-D
-        # The auto-diverted result equals shift-add (matmul is parity-safe
+        # The diverted result equals shift-add (matmul is parity-safe
         # by construction: exact-zero basis products).
         a = upfirdn2d(x64, wide, up=2, padding=(5, 6, 5, 6), impl="auto")
-        b = upfirdn2d(x64, wide, up=2, padding=(5, 6, 5, 6), impl="xla")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        uf_mod.set_allow_matmul_blur(False)
+        b = upfirdn2d(x64, wide, up=2, padding=(5, 6, 5, 6), impl="auto")
+        c = upfirdn2d(x64, wide, up=2, padding=(5, 6, 5, 6), impl="xla")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c))  # same path
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
     finally:
         uf_mod.set_allow_matmul_blur(prev)

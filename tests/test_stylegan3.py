@@ -146,6 +146,47 @@ def test_bf16_blocks_close_to_fp32(tiny_gen):
     assert float(jnp.abs(a - b).max()) < 0.1 * float(jnp.abs(a).max()) + 0.02
 
 
+def test_fp16_knob_is_live_post_config(tiny_gen):
+    """num_fp16_res is a RUNTIME knob: ingested SG3 checkpoints arrive
+    with a num_fp16_res=0 plan (convert_sg3.infer_generator_config) and
+    the engine sets cfg.num_fp16_res post-load — synthesis_apply must
+    derive per-layer bf16 from the live value, not the plan-time
+    layer.use_fp16 (a stale-plan fp32 run at 256²/b32 is a ~22 GB OOM
+    on a 16 GB chip — CLAUDE.md)."""
+    cfg0, params = tiny_gen
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg0.z_dim))
+    a_fp32 = np.asarray(n3.generator_apply(params, cfg0, z))
+
+    cfg_post = tiny_cfg(num_fp16_res=0)  # the ingestion-shaped plan...
+    cfg_post.num_fp16_res = 4            # ...with the knob set post-load
+    b_post = np.asarray(n3.generator_apply(params, cfg_post, z))
+    c_plan = np.asarray(n3.generator_apply(
+        params, tiny_cfg(num_fp16_res=4), z))
+
+    np.testing.assert_array_equal(b_post, c_plan)  # same program either way
+    assert not np.array_equal(b_post, a_fp32), \
+        "post-config num_fp16_res=4 still ran fp32 — the knob is dead"
+
+
+def test_synthesis_matmul_fir_path_matches_shift_add(tiny_gen):
+    """The banded-matmul FIR path (the TPU default for the alias-free
+    family's wide taps; forced here — CPU defaults to shift-add) equals
+    the shift-add decomposition through a full synthesis forward."""
+    import importlib
+
+    uf_mod = importlib.import_module("latentaugment_tpu.ops.upfirdn2d")
+    cfg, params = tiny_gen
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, cfg.z_dim))
+    a = np.asarray(n3.generator_apply(params, cfg, z))
+    prev = uf_mod._ALLOW_MATMUL_BLUR
+    uf_mod.set_allow_matmul_blur(True)
+    try:
+        b = np.asarray(n3.generator_apply(params, cfg, z))
+    finally:
+        uf_mod.set_allow_matmul_blur(prev)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_remat_matches_plain(tiny_gen):
     cfg, params = tiny_gen
     z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim))
