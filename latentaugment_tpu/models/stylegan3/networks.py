@@ -98,11 +98,11 @@ def generator_config(z_dim=512, c_dim=0, w_dim=512, img_resolution=256,
         prev = max(idx - 1, 0)
         is_torgb = idx == num_layers
         is_critically_sampled = idx >= num_layers - num_critical
-        # Plan-time view only: synthesis_apply re-derives this from the
-        # cfg's LIVE num_fp16_res (a runtime knob — engine.load_stylegan
-        # overwrites it post-load, and ingested checkpoints arrive with 0).
-        use_fp16 = bool(sampling_rates[idx] * (2 ** num_fp16_res)
-                        > img_resolution)
+        # NOTE: no per-layer fp16 flag is stored in the plan. num_fp16_res
+        # is a RUNTIME knob (engine.load_stylegan overwrites it post-load;
+        # ingested checkpoints arrive with 0), so synthesis_apply derives
+        # each layer's bf16 from the live cfg.num_fp16_res — a plan-baked
+        # flag could silently diverge from it (advisor round 4).
         in_sr, out_sr = float(sampling_rates[prev]), float(sampling_rates[idx])
         k = 1 if is_torgb else conv_kernel
         tmp_sr = max(in_sr, out_sr) * (1 if is_torgb else lrelu_upsampling)
@@ -121,7 +121,6 @@ def generator_config(z_dim=512, c_dim=0, w_dim=512, img_resolution=256,
         layers.append(EasyDict(
             name=f'L{idx}_{out_size}_{int(channels[idx])}',
             is_torgb=is_torgb, is_critically_sampled=is_critically_sampled,
-            use_fp16=use_fp16,
             in_channels=int(channels[prev]), out_channels=int(channels[idx]),
             in_size=in_size, out_size=out_size,
             in_sampling_rate=in_sr, out_sampling_rate=out_sr,

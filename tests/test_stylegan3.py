@@ -107,8 +107,10 @@ def test_config_plan_structure():
     assert (tor.up_factor, tor.down_factor) == (1, 1)
     assert (tor.up_taps, tor.down_taps) == (1, 1)
     assert tor.conv_kernel == 1
-    # fp16 plan: high-rate layers only.
-    fp16 = [l.use_fp16 for l in cfg.layers]
+    # fp16 derivation (live formula — the plan stores no per-layer flag,
+    # see networks.generator_config): high-rate layers only.
+    fp16 = [l.out_sampling_rate * (2 ** cfg.num_fp16_res)
+            > cfg.img_resolution for l in cfg.layers]
     assert fp16 == sorted(fp16)  # once on, stays on
 
 
