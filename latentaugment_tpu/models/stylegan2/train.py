@@ -238,7 +238,13 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         loss_real = jnp.mean(jax.nn.softplus(-real_logits))
         # r_t = E[sign(D(real))] feeds the host-side ADA controller.
         rt = jnp.mean(jnp.sign(real_logits))
-        return loss_gen + loss_real, (loss_gen, loss_real, rt)
+        # Negative-control seam (never set in production): flips the
+        # OPTIMIZED objective only — the logged losses stay honest — so
+        # scripts/check_train_run.py can be proven to FAIL a run whose D
+        # unlearns (the checker's thresholds were originally tuned on a
+        # single healthy run; tests/test_train_dynamics.py).
+        sign = -1.0 if os.environ.get("LATAUG_NEGCTRL_FLIP_D_SIGN") else 1.0
+        return sign * (loss_gen + loss_real), (loss_gen, loss_real, rt)
 
     def loss_d_r1(dp, aug_real, c):
         """R1 gradient penalty on the (already augmented) reals

@@ -13,6 +13,10 @@ fails loudly while honest stochastic noise passes):
      risen; persistently below, fallen (stylegan2-ada's
      augment-probability feedback loop)
   5. the R1 penalty stays bounded (exploding r1 = D gradient blowup)
+  6. Loss/D/gen stays on the softplus operating scale (a fully flipped
+     D objective drives ALL logits to +inf, which mimics "separation"
+     on the real side — caught only here; see
+     artifacts/negative_control_r5/)
 
 Also renders loss/rt/aug_p trajectories to <run_dir>/dynamics.png.
 
@@ -103,6 +107,18 @@ def check_rows(rows, *, expect_kimg=None, ada_target=0.6, require_ada=True):
             ada = "p fell or pinned at 0 (rt < target)"
         else:
             ada = "rt straddles target — direction not judged"
+
+    # D's fake-side loss must stay on the softplus operating scale.
+    # Found by negative control (round 5): flipping the WHOLE D objective
+    # drives every logit to +inf — Loss/D/real -> 0 then looks like
+    # perfect "separation" and rt pins at +1, so checks 3-4 pass — but
+    # Loss/D/gen = softplus(D(fake)) explodes by orders of magnitude
+    # (healthy runs sit at O(1); the broken artifact reaches 5e4).
+    d_gen_last = float(np.median(series["Loss/D/gen"][-q:]))
+    assert d_gen_last < 20.0, (
+        f"Loss/D/gen exploded: last-quarter median {d_gen_last:.2f} — "
+        "D scores fakes arbitrarily high (wrong objective sign / "
+        "runaway logits)")
 
     r1 = np.array([r.get("Loss/r1_penalty", 0.0) for r in rows])
     assert np.isfinite(r1).all() and (np.abs(r1[-q:]).mean()

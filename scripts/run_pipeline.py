@@ -60,6 +60,10 @@ def main(argv=None):
 
     synthetic = pop_flag("--synthetic", False, is_bool=True)
     n_imgs = int(pop_flag("--n_imgs", "32"))
+    # --arch stylegan3 builds the synthetic workspace around an
+    # alias-free checkpoint: every downstream stage (projector, walk,
+    # metrics) dispatches on the checkpoint's saved arch tag.
+    arch = pop_flag("--arch", "stylegan2")
     do_train = pop_flag("--train", False, is_bool=True)
     train_kimg = float(pop_flag("--train_kimg", "0.2"))
     train_batch = int(pop_flag("--train_batch", "4"))
@@ -75,6 +79,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    if synthetic and do_train and arch != "stylegan2":
+        raise SystemExit("--train produces a StyleGAN2 snapshot that would "
+                         "replace the --arch checkpoint; drop one of them")
     if synthetic:
         import tempfile
 
@@ -84,7 +91,7 @@ def main(argv=None):
             "tests"))
         from synthetic import build_workspace
 
-        ws = build_workspace(root)
+        ws = build_workspace(root, arch=arch)
         argv = ws["argv"] + ["--init_w", "inv", "--p_thres", "0.0",
                              "--w_pix", "0.1", "--w_lpips", "1.0",
                              "--w_latent", "0.001", "--w_disc", "0.01",

@@ -48,29 +48,45 @@ def make_latent_zip(path, fnames, num_ws, w_dim, seed=1):
             zf.writestr(name, buf.getvalue())
 
 
-def make_checkpoint(path, res=RES, img_channels=2, seed=0, c_dim=0):
-    g_cfg = networks.generator_config(z_dim=32, c_dim=c_dim, w_dim=32,
-                                      img_resolution=res,
-                                      img_channels=img_channels,
-                                      channel_base=512, channel_max=64,
-                                      num_mapping_layers=2)
+def make_checkpoint(path, res=RES, img_channels=2, seed=0, c_dim=0,
+                    arch="stylegan2"):
+    if arch == "stylegan3":
+        from latentaugment_tpu.models.stylegan3 import networks as networks3
+
+        g_cfg = networks3.generator_config(z_dim=32, c_dim=c_dim, w_dim=32,
+                                           img_resolution=res,
+                                           img_channels=img_channels,
+                                           channel_base=1024, channel_max=32,
+                                           num_layers=4,
+                                           num_mapping_layers=2)
+        g_params = networks3.generator_init(jax.random.PRNGKey(seed), g_cfg)
+    else:
+        g_cfg = networks.generator_config(z_dim=32, c_dim=c_dim, w_dim=32,
+                                          img_resolution=res,
+                                          img_channels=img_channels,
+                                          channel_base=512, channel_max=64,
+                                          num_mapping_layers=2)
+        g_params = networks.generator_init(jax.random.PRNGKey(seed), g_cfg)
+    # The discriminator is always the SG2 one (the alias-free family
+    # changes only the generator — models.networks_for).
     d_cfg = networks.discriminator_config(c_dim=c_dim, img_resolution=res,
                                           img_channels=img_channels,
                                           channel_base=512, channel_max=64,
                                           mbstd_group_size=2,
                                           num_mapping_layers=2)
-    g_params = networks.generator_init(jax.random.PRNGKey(seed), g_cfg)
     d_params = networks.discriminator_init(jax.random.PRNGKey(seed + 1), d_cfg)
     convert.save_checkpoint(path, g_params, g_cfg, d_params, d_cfg)
     return g_cfg, d_cfg
 
 
-def build_workspace(root, split="train", c_dim=0):
+def build_workspace(root, split="train", c_dim=0, arch="stylegan2"):
     """Create the full directory layout an AugOptions run expects.
 
     Returns a dict of paths/args suitable for AugOptions().parse(argv=...).
     c_dim > 0 writes a conditional checkpoint (label-embed mapping +
-    projection D) for the conditional-walk extension tests.
+    projection D) for the conditional-walk extension tests; arch
+    selects the generator family inside the checkpoint (the policy path
+    dispatches on the saved arch tag — models.networks_for).
     """
     root = str(root)
     dataset = "SynthSet"
@@ -84,7 +100,7 @@ def build_workspace(root, split="train", c_dim=0):
     fnames = make_image_zip(img_zip, split=split)
 
     ckpt = os.path.join(root, "ckpt.pkl")
-    g_cfg, d_cfg = make_checkpoint(ckpt, c_dim=c_dim)
+    g_cfg, d_cfg = make_checkpoint(ckpt, c_dim=c_dim, arch=arch)
 
     w_zip = os.path.join(ddir, w_name + ".zip")
     make_latent_zip(w_zip, fnames, num_ws=g_cfg.num_ws, w_dim=g_cfg.w_dim)
