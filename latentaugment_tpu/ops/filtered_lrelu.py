@@ -2,18 +2,29 @@
 
 Parity: reference torch_utils/ops/filtered_lrelu.py — upsample with an
 FIR filter, add bias, leaky-ReLU with gain and optional clamp, then
-downsample with a second FIR filter. The SG2 path of LatentAugment
-never calls this op (SURVEY.md §2.5 item 3); it is provided via the
-decomposed formulation (the reference's own Python fallback,
-filtered_lrelu.py:121-155) built on our shift-add upfirdn2d + bias_act,
-which XLA fuses. The CUDA sign-buffer machinery is a memory trick for
-the backward; JAX autodiff handles it.
+downsample with a second FIR filter. Two implementations:
+
+  * decomposed (default): the reference's own Python fallback
+    (filtered_lrelu.py:121-155) built on our upfirdn2d + bias_act —
+    each FIR rides the banded-matmul MXU path on TPU, XLA fuses the
+    elementwise. The CUDA sign-buffer machinery (filtered_lrelu.cu,
+    1284 LoC) is a memory trick for the backward; JAX autodiff handles
+    it.
+  * impl='pallas_fused': the whole op in ONE Pallas kernel — bias add,
+    both up-FIR axes, lrelu, both down-FIR axes as four banded 2-D
+    matmuls (MXU) over a channel tile resident in VMEM, so the up-rate
+    canvas (4x the pixels of the input) never round-trips HBM. This is
+    the TPU analogue of the reference's fused CUDA kernel. Forward
+    only (measurement/serving path); the walk keeps the decomposed
+    autodiff form.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .bias_act import bias_act
-from .upfirdn2d import _get_filter_size, _parse_padding, upfirdn2d
+from .upfirdn2d import (_axis_band_matrix, _get_filter_size,
+                        _parse_padding, upfirdn2d)
 
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
@@ -41,6 +52,15 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     out_h = (in_h * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1)
              + (down - 1)) // down
 
+    if impl == 'pallas_fused':
+        y = _filtered_lrelu_fused(x, fu, fd, b, up, down,
+                                  (px0, px1, py0, py1), gain, slope,
+                                  clamp, flip_filter)
+        if y is not None:
+            assert y.shape == (batch, channels, out_h, out_w)
+            return y
+        impl = 'auto'  # non-separable filters: fall through
+
     x = bias_act(x, b)  # bias only, before upsampling (ref :147)
     x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
                   gain=up ** 2, flip_filter=flip_filter, impl=impl)
@@ -48,3 +68,129 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter, impl=impl)
     assert x.shape == (batch, channels, out_h, out_w)
     return x
+
+
+def _band(f, taps, n_in, n_out, up, down, pad0, gain, flip_filter):
+    """Per-axis band matrix with upfirdn2d's tap-prep convention."""
+    if f is None:
+        f = jnp.ones((1,), jnp.float32)
+    fk = f.astype(jnp.float32) * (float(gain) ** 0.5)
+    if not flip_filter:
+        fk = jnp.flip(fk, axis=0)
+    return _axis_band_matrix(fk, n_in, n_out, up, down, pad0)
+
+
+def _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain, slope,
+                          clamp, flip_filter):
+    """One-kernel filtered_lrelu: four banded matmuls + elementwise in a
+    single VMEM residency per channel tile (see module docstring).
+
+    Returns None when the filters are not separable (1-D taps) — the
+    caller falls back to the decomposed path. Matches the decomposed
+    form to float roundoff (same band-matrix construction as
+    upfirdn2d's matmul path, which is shift-add-parity by
+    construction)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if (fu is not None and fu.ndim != 1) or \
+            (fd is not None and fd.ndim != 1):
+        return None
+    px0, px1, py0, py1 = padding
+    n, c, in_h, in_w = (int(s) for s in x.shape)
+    tu = int(fu.shape[0]) if fu is not None else 1
+    td = int(fd.shape[0]) if fd is not None else 1
+    # Up stage output (tmp-rate canvas), then down stage output.
+    up_w = in_w * up + px0 + px1 - (tu - 1)
+    up_h = in_h * up + py0 + py1 - (tu - 1)
+    out_w = (up_w - td) // down + 1
+    out_h = (up_h - td) // down + 1
+    assert up_w > 0 and up_h > 0 and out_w > 0 and out_h > 0
+
+    # Band matrices (iota-built outside the kernel; the 2-D up gain
+    # up**2 splits as `up` per axis — upfirdn2d's convention).
+    mwu = _band(fu, tu, in_w, up_w, up, 1, px0, up * up, flip_filter)
+    mhu = _band(fu, tu, in_h, up_h, up, 1, py0, up * up, flip_filter)
+    mwd = _band(fd, td, up_w, out_w, 1, down, 0, 1, flip_filter)
+    mhd = _band(fd, td, up_h, out_h, 1, down, 0, 1, flip_filter)
+
+    bias = (b if b is not None else jnp.zeros((c,), x.dtype))
+    bias = bias.astype(jnp.float32)
+
+    # Channel-tile size bounded by VMEM (lane-padded fp32 footprint of
+    # every intermediate + double-buffered in/out blocks).
+    def padded(h_, w_):
+        return (-(-h_ // 8) * 8) * (-(-w_ // 128) * 128)
+
+    per_ch = (2 * padded(in_h, in_w) + padded(in_h, up_w)
+              + 3 * padded(up_h, up_w) + padded(up_h, out_w)
+              + 2 * padded(out_h, out_w)) * 4
+    bands = (padded(in_w, up_w) + padded(in_h, up_h)
+             + padded(up_w, out_w) + padded(up_h, out_h)) * 4
+    m = n * c
+    bc = max(1, min(m, ((10 << 20) - bands) // max(per_ch, 1)))
+    while m % bc != 0:
+        bc -= 1
+
+    slope = float(slope)
+    out_gain = float(gain)
+    clamp_v = float(clamp) if clamp is not None else None
+
+    def kernel(bias_ref, x_ref, mwu_ref, mhu_ref, mwd_ref, mhd_ref,
+               o_ref):
+        # bias block is [bc, 1] (2-D: Mosaic handles >=2-D refs best).
+        t = x_ref[:].astype(jnp.float32) + bias_ref[:][:, :, None]
+        # W up-FIR: [bc, H, W] @ [W, Wu] as one 2-D matmul.
+        a = jax.lax.dot_general(
+            t.reshape(bc * in_h, in_w), mwu_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bc, in_h, up_w)
+        # H up-FIR: transpose H last, matmul, transpose back.
+        a = a.transpose(0, 2, 1).reshape(bc * up_w, in_h)
+        a = jax.lax.dot_general(
+            a, mhu_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a = a.reshape(bc, up_w, up_h).transpose(0, 2, 1)
+        # lrelu with gain and clamp on the tmp-rate canvas.
+        a = jnp.where(a >= 0, a, a * slope) * out_gain
+        if clamp_v is not None:
+            a = jnp.clip(a, -clamp_v, clamp_v)
+        # W down-FIR.
+        d = jax.lax.dot_general(
+            a.reshape(bc * up_h, up_w), mwd_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bc, up_h, out_w)
+        # H down-FIR.
+        d = d.transpose(0, 2, 1).reshape(bc * out_w, up_h)
+        d = jax.lax.dot_general(
+            d, mhd_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = d.reshape(bc, out_w, out_h).transpose(0, 2, 1) \
+            .astype(o_ref.dtype)
+
+    interpret = jax.default_backend() != 'tpu'
+    x3 = x.reshape(m, in_h, in_w)
+    bias_m = jnp.broadcast_to(bias[None, :], (n, c)).reshape(m, 1)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, out_h, out_w), x.dtype),
+        grid=(m // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, in_h, in_w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_w, up_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_h, up_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((up_w, out_w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((up_h, out_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, out_h, out_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(bias_m, x3, mwu, mhu, mwd, mhd)
+    return y.reshape(n, c, out_h, out_w)

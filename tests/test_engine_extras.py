@@ -88,6 +88,38 @@ def test_filtered_lrelu_matches_reference_fallback():
                                atol=1e-5)
 
 
+def test_filtered_lrelu_pallas_fused_matches_decomposed():
+    """The one-kernel Pallas filtered_lrelu (bias + both up-FIR axes +
+    lrelu + both down-FIR axes as banded matmuls in one VMEM residency
+    — the TPU analogue of the reference's fused filtered_lrelu.cu) must
+    match the decomposed reference formulation on separable filters,
+    across up/down factors, asymmetric padding, and clamp. Runs in
+    Pallas interpret mode on CPU."""
+    from latentaugment_tpu.ops.filtered_lrelu import filtered_lrelu
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 3, 11, 13).astype(np.float32))
+    fu = jnp.asarray(rs.randn(12).astype(np.float32))
+    fd = jnp.asarray(rs.randn(6).astype(np.float32))
+    b = jnp.asarray(rs.randn(3).astype(np.float32))
+    for kw in [dict(up=2, down=2, padding=(5, 6, 4, 7)),
+               dict(up=2, down=1, padding=3, clamp=0.5),
+               dict(up=1, down=2, padding=4, slope=0.1, gain=1.0),
+               dict(up=2, down=2, padding=9, clamp=256.0)]:
+        ref = filtered_lrelu(x, fu, fd, b, impl='xla', **kw)
+        fz = filtered_lrelu(x, fu, fd, b, impl='pallas_fused', **kw)
+        assert fz.shape == ref.shape, kw
+        np.testing.assert_allclose(np.asarray(fz), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    # Non-separable (2-D) filters fall back to the decomposed path.
+    f2 = jnp.asarray(rs.randn(4, 4).astype(np.float32))
+    ref = filtered_lrelu(x, f2, f2, b, up=2, down=2, padding=3, impl='xla')
+    fz = filtered_lrelu(x, f2, f2, b, up=2, down=2, padding=3,
+                        impl='pallas_fused')
+    np.testing.assert_allclose(np.asarray(fz), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_num_fp16_res_runtime_knob(ws):
     """bf16 knob should produce finite images close to the fp32 path."""
     base = ["--init_w", "inv", "--p_thres", "0.0", "--w_lpips", "0.0",
