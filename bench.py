@@ -293,6 +293,10 @@ def main():
             break
         print(f"[bench] chains {sorted(chains)[:2]} disagree >15% "
               f"(relay stall?); running another", file=sys.stderr)
+        # Supersede the provisional after each extra chain: a scraper
+        # that takes the LAST line always gets best-so-far, so a kill
+        # mid-protocol never records a single stall-corrupted chain.
+        print(json.dumps(result_row(chains, provisional=True)), flush=True)
         chains.append(run_chain(iters, salt=len(chains) + 1))
     print(f"[bench] {iters}-iter chains {[round(c, 3) for c in chains]} "
           f"-> best {min(chains) / iters:.3f}s/batch", file=sys.stderr)

@@ -104,14 +104,14 @@ def main():
                       f"taps {layer.up_taps}/{layer.down_taps}) {impl}: "
                       f"{dt * 1000:.2f} ms (chains "
                       f"{[round(t, 3) for t in times]}, "
-                      f"compile {compile_s:.1f}s)")
+                      f"compile {compile_s:.1f}s)", flush=True)
             except Exception as e:  # lowering/compile failure is a result
                 print(f"[probe_flrelu] L{idx} {impl}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:300]}")
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
         if len(rows) == 2:
             r = rows["auto"] / rows["pallas_fused"]
             print(f"[probe_flrelu] L{idx} fused speedup x{r:.2f} "
-                  f"({'fused WINS' if r > 1 else 'decomposed wins'})")
+                  f"({'fused WINS' if r > 1 else 'decomposed wins'})", flush=True)
 
 
 if __name__ == "__main__":

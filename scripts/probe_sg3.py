@@ -104,7 +104,7 @@ def profile_mode(args, cb, cm, g_over, remat):
         rows.append((name, dt, chains, compile_s))
         print(f"[probe_sg3] {name}: {dt:.3f} s/batch "
               f"(chains {[round(c, 3) for c in chains]}, "
-              f"compile {compile_s:.1f}s)")
+              f"compile {compile_s:.1f}s)", flush=True)
 
     # Synthesis alone, fwd and fwd+bwd — isolates the G/filtered_lrelu
     # share of the walk step (everything minus D, VGG, loss algebra).
@@ -143,7 +143,7 @@ def profile_mode(args, cb, cm, g_over, remat):
         rows.append((name, dt, chains, compile_s))
         print(f"[probe_sg3] {name}: {dt * 1000:.1f} ms/batch "
               f"(chains {[round(c, 3) for c in chains]}, "
-              f"compile {compile_s:.1f}s)")
+              f"compile {compile_s:.1f}s)", flush=True)
 
     full = dict((n, d) for n, d, _, _ in rows)["walk_full"]
     print(f"[probe_sg3] profile summary (batch {args.batch}, "
@@ -225,7 +225,7 @@ def main():
         dt = min(chains) / args.iters
         print(f"[probe_sg3] synth chains {[round(c, 3) for c in chains]} -> "
               f"{dt * 1000:.1f} ms/batch = {args.batch / dt:.2f} imgs/s "
-              f"(batch {args.batch}, {args.res}²)")
+              f"(batch {args.batch}, {args.res}²)", flush=True)
         return
 
     walk = jax.jit(fns.walk)
@@ -243,7 +243,7 @@ def main():
     dt = min(chains) / args.iters
     print(f"[probe_sg3] walk chains {[round(c, 3) for c in chains]} -> "
           f"{dt:.3f} s/batch = {args.batch / dt:.2f} augmented samples/s "
-          f"(batch {args.batch}, {args.res}², K={args.k})")
+          f"(batch {args.batch}, {args.res}², K={args.k})", flush=True)
 
 
 if __name__ == "__main__":

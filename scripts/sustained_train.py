@@ -77,6 +77,8 @@ def main(argv=None):
     ap.add_argument("--smoke", action="store_true",
                     help="CPU tiny operating point")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--res", type=int, default=256,
+                    help="training resolution (non-smoke)")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -94,9 +96,12 @@ def main(argv=None):
         kimg = min(args.kimg, 0.6)
         n_pat, spp = 3, 8
     else:
-        # The measured-safe TPU point (BENCH_NOTES round 3): b8/b16
+        # 256²: the measured-safe TPU point (BENCH_NOTES round 3): b8/b16
         # kernel-fault in G param-grad phases; unchunked R1 compile-OOMs.
-        res, batch, extra = 256, 32, ["--r1_chunks", "2"]
+        # Other resolutions (--res 128: the round-5 second-configuration
+        # run) keep batch 32; R1 chunking only needed at 256².
+        res, batch = args.res, 32
+        extra = ["--r1_chunks", "2"] if args.res >= 256 else []
         kimg = args.kimg
         n_pat, spp = 4, 24
 

@@ -22,16 +22,18 @@ def test_bench_cpu_smoke():
                          capture_output=True, text=True, timeout=540)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
-    # TWO result lines: a provisional one right after chain 1 (so an
-    # external kill mid-protocol still leaves a scrapeable number —
-    # round-4 VERDICT weak #1: the driver bench died with NO output),
-    # then the final agreed line. A last-JSON-line scraper reads final;
-    # a killed run leaves the provisional.
-    assert len(lines) == 2, res.stdout
-    prov = json.loads(lines[0])
-    assert prov["provisional"] is True and len(prov["chains_s"]) == 1
-    assert prov["value"] > 0
-    rec = json.loads(lines[1])
+    # A provisional result line right after chain 1 (so an external kill
+    # mid-protocol still leaves a scrapeable number — round-4 VERDICT
+    # weak #1: the driver bench died with NO output), superseded after
+    # each extra disagreeing chain, then the final agreed line LAST (a
+    # last-JSON-line scraper always reads the best available record).
+    assert 2 <= len(lines) <= 4, res.stdout
+    for line in lines[:-1]:
+        prov = json.loads(line)
+        assert prov["provisional"] is True and prov["value"] > 0
+    assert json.loads(lines[0])["chains_s"] and \
+        len(json.loads(lines[0])["chains_s"]) == 1
+    rec = json.loads(lines[-1])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline", "batch",
                         "oom_fallback", "chains_s"}
     assert rec["value"] > 0
