@@ -14,10 +14,18 @@ downsample with a second FIR filter. Two implementations:
     both up-FIR axes, lrelu, both down-FIR axes as four banded 2-D
     matmuls (MXU) over a channel tile resident in VMEM, so the up-rate
     canvas (4x the pixels of the input) never round-trips HBM. This is
-    the TPU analogue of the reference's fused CUDA kernel. Forward
-    only (measurement/serving path); the walk keeps the decomposed
-    autodiff form.
+    the TPU analogue of the reference's fused CUDA kernel. Measured on
+    a v5e (scripts/probe_flrelu.py, BENCH_NOTES round 5): up to 7.8x
+    on the wide-tap small-canvas trunk layers, SLOWER once the VMEM
+    budget forces tiny channel tiles (big canvases) — the auto gate
+    (`set_fused_flrelu(True)` / LATAUG_FUSED_FLRELU=1, TPU-only)
+    engages it only where the tile stays >= _FUSED_MIN_TILE channels.
+    Differentiable: a custom VJP runs the kernel forward and the
+    decomposed formulation's VJP backward.
 """
+
+import functools as _functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +33,21 @@ import jax.numpy as jnp
 from .bias_act import bias_act
 from .upfirdn2d import (_axis_band_matrix, _get_filter_size,
                         _parse_padding, upfirdn2d)
+
+_ALLOW_FUSED = None  # None -> env LATAUG_FUSED_FLRELU decides
+_FUSED_MIN_TILE = 8  # measured crossover: bc<8 => decomposed wins
+
+
+def set_fused_flrelu(allow):
+    """Program-wide override of the fused-kernel auto gate (None = env)."""
+    global _ALLOW_FUSED
+    _ALLOW_FUSED = allow
+
+
+def _fused_enabled():
+    if _ALLOW_FUSED is not None:
+        return bool(_ALLOW_FUSED)
+    return bool(_os.environ.get("LATAUG_FUSED_FLRELU"))
 
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
@@ -39,6 +62,11 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     out_w = (in_w*up + px0+px1 - (fu_w-1) - (fd_w-1) + (down-1)) // down.
     `gain` defaults to sqrt(2); `slope` is the lrelu negative slope;
     `clamp` the symmetric output clamp.
+
+    impl: 'auto' (decomposed; diverts to the fused Pallas kernel on TPU
+    when the gate is on and the geometry is in its measured win regime),
+    'pallas_fused' (force the fused kernel, no win-regime gate), or an
+    upfirdn2d impl name for the decomposed path's FIRs.
     """
     assert x.ndim == 4
     fu_w, fu_h = _get_filter_size(fu)
@@ -52,14 +80,25 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     out_h = (in_h * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1)
              + (down - 1)) // down
 
-    if impl == 'pallas_fused':
-        y = _filtered_lrelu_fused(x, fu, fd, b, up, down,
-                                  (px0, px1, py0, py1), gain, slope,
-                                  clamp, flip_filter)
-        if y is not None:
+    force = impl == 'pallas_fused'
+    auto_fuse = (impl == 'auto' and _fused_enabled()
+                 and jax.default_backend() == 'tpu')
+    if force or auto_fuse:
+        geo = _fused_geometry(x.shape, fu, fd, up, down,
+                              (px0, px1, py0, py1),
+                              require_win_regime=not force)
+        if geo is not None:
+            if b is None:
+                b = jnp.zeros((channels,), x.dtype)
+            y = _fused_op(x, fu, fd, b,
+                          up, down, (px0, px1, py0, py1), float(gain),
+                          float(slope),
+                          float(clamp) if clamp is not None else None,
+                          bool(flip_filter))
             assert y.shape == (batch, channels, out_h, out_w)
             return y
-        impl = 'auto'  # non-separable filters: fall through
+        if force:
+            impl = 'auto'  # non-separable filters: fall through
 
     x = bias_act(x, b)  # bias only, before upsampling (ref :147)
     x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
@@ -68,6 +107,86 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter, impl=impl)
     assert x.shape == (batch, channels, out_h, out_w)
     return x
+
+
+def _fused_geometry(x_shape, fu, fd, up, down, padding,
+                    require_win_regime):
+    """Static plan for the fused kernel, or None to use decomposed.
+
+    None when a filter is non-separable, or (win-regime gate) when the
+    VMEM budget would force a channel tile under _FUSED_MIN_TILE —
+    measured crossover on v5e: bc>=8 layers win up to 7.8x, bc<8
+    layers lose (BENCH_NOTES round 5)."""
+    if (fu is not None and fu.ndim != 1) or \
+            (fd is not None and fd.ndim != 1):
+        return None
+    px0, px1, py0, py1 = padding
+    n, c, in_h, in_w = (int(s) for s in x_shape)
+    tu = int(fu.shape[0]) if fu is not None else 1
+    td = int(fd.shape[0]) if fd is not None else 1
+    up_w = in_w * up + px0 + px1 - (tu - 1)
+    up_h = in_h * up + py0 + py1 - (tu - 1)
+    out_w = (up_w - td) // down + 1
+    out_h = (up_h - td) // down + 1
+    if min(up_w, up_h, out_w, out_h) <= 0:
+        return None
+
+    def padded(h_, w_):
+        return (-(-h_ // 8) * 8) * (-(-w_ // 128) * 128)
+
+    per_ch = (2 * padded(in_h, in_w) + padded(in_h, up_w)
+              + 3 * padded(up_h, up_w) + padded(up_h, out_w)
+              + 2 * padded(out_h, out_w)) * 4
+    bands = (padded(in_w, up_w) + padded(in_h, up_h)
+             + padded(up_w, out_w) + padded(up_h, out_h)) * 4
+    m = n * c
+    bc = max(1, min(m, ((10 << 20) - bands) // max(per_ch, 1)))
+    while m % bc != 0:
+        bc -= 1
+    if require_win_regime and bc < _FUSED_MIN_TILE:
+        return None
+    return dict(bc=bc, tu=tu, td=td, up_w=up_w, up_h=up_h,
+                out_w=out_w, out_h=out_h)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _fused_op(x, fu, fd, b, up, down, padding, gain, slope, clamp,
+              flip_filter):
+    """Differentiable fused filtered_lrelu: Pallas kernel forward, the
+    decomposed formulation's VJP backward (numerically identical ops —
+    same band-matrix construction — so grads match the default path)."""
+    return _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain,
+                                 slope, clamp, flip_filter)
+
+
+def _decomposed(x, fu, fd, b, up, down, padding, gain, slope, clamp,
+                flip_filter):
+    px0, px1, py0, py1 = padding
+    x = bias_act(x, b)
+    x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
+                  gain=up ** 2, flip_filter=flip_filter)
+    x = bias_act(x, act='lrelu', alpha=slope, gain=gain, clamp=clamp)
+    return upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
+
+
+def _fused_fwd(x, fu, fd, b, up, down, padding, gain, slope, clamp,
+               flip_filter):
+    y = _fused_op(x, fu, fd, b, up, down, padding, gain, slope, clamp,
+                  flip_filter)
+    return y, (x, fu, fd, b)
+
+
+def _fused_bwd(up, down, padding, gain, slope, clamp, flip_filter, res,
+               dy):
+    x, fu, fd, b = res
+    _, vjp = jax.vjp(
+        lambda x_, fu_, fd_, b_: _decomposed(
+            x_, fu_, fd_, b_, up, down, padding, gain, slope, clamp,
+            flip_filter), x, fu, fd, b)
+    return vjp(dy)
+
+
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _band(f, taps, n_in, n_out, up, down, pad0, gain, flip_filter):
@@ -138,8 +257,13 @@ def _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain, slope,
 
     def kernel(bias_ref, x_ref, mwu_ref, mhu_ref, mwd_ref, mhd_ref,
                o_ref):
-        # bias block is [bc, 1] (2-D: Mosaic handles >=2-D refs best).
-        t = x_ref[:].astype(jnp.float32) + bias_ref[:][:, :, None]
+        # bias arrives UNBLOCKED ([m, 1] whole-array in VMEM, ~32 KB)
+        # and is sliced per grid step: a blocked (bc, 1) spec would
+        # need bc % 8 == 0, which the VMEM-budgeted bc can't promise
+        # (measured: the 148²/276² layers pick bc of 1-6).
+        i = pl.program_id(0)
+        bias_t = bias_ref[pl.ds(i * bc, bc), :]
+        t = x_ref[:].astype(jnp.float32) + bias_t[:, :, None]
         # W up-FIR: [bc, H, W] @ [W, Wu] as one 2-D matmul.
         a = jax.lax.dot_general(
             t.reshape(bc * in_h, in_w), mwu_ref[:],
@@ -176,8 +300,7 @@ def _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain, slope,
         out_shape=jax.ShapeDtypeStruct((m, out_h, out_w), x.dtype),
         grid=(m // bc,),
         in_specs=[
-            pl.BlockSpec((bc, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias: whole array
             pl.BlockSpec((bc, in_h, in_w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((in_w, up_w), lambda i: (0, 0),

@@ -120,6 +120,51 @@ def test_filtered_lrelu_pallas_fused_matches_decomposed():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_filtered_lrelu_fused_grads_match_decomposed():
+    """The fused op is differentiable via a custom VJP that runs the
+    decomposed formulation's backward — x and bias grads must equal the
+    default path's (so the walk/trainer can use the fused forward)."""
+    import importlib
+
+    import jax
+
+    # The ops package re-exports the FUNCTION under the same name; go
+    # through importlib to get the module (set_fused_flrelu lives there).
+    fl = importlib.import_module("latentaugment_tpu.ops.filtered_lrelu")
+
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 3, 9, 10).astype(np.float32))
+    fu = jnp.asarray(rs.randn(12).astype(np.float32))
+    fd = jnp.asarray(rs.randn(6).astype(np.float32))
+    b = jnp.asarray(rs.randn(3).astype(np.float32))
+    kw = dict(up=2, down=2, padding=(5, 6, 4, 7), clamp=1.5)
+
+    def loss(impl, x, b):
+        return jnp.sum(jnp.sin(fl.filtered_lrelu(x, fu, fd, b,
+                                                 impl=impl, **kw)))
+
+    gx_ref, gb_ref = jax.grad(lambda x, b: loss('xla', x, b),
+                              argnums=(0, 1))(x, b)
+    gx_fz, gb_fz = jax.grad(lambda x, b: loss('pallas_fused', x, b),
+                            argnums=(0, 1))(x, b)
+    # Forward roundoff (~1e-5) propagates through sin' into the grads;
+    # pre-activations near the lrelu kink amplify it slightly.
+    np.testing.assert_allclose(np.asarray(gx_fz), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_fz), np.asarray(gb_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    # The auto gate is TPU-only: enabled on CPU it must stay decomposed
+    # (bit-identical), so tests and CPU users never hit interpret mode.
+    fl.set_fused_flrelu(True)
+    try:
+        auto = fl.filtered_lrelu(x, fu, fd, b, impl='auto', **kw)
+        ref = fl.filtered_lrelu(x, fu, fd, b, impl='xla', **kw)
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(ref))
+    finally:
+        fl.set_fused_flrelu(None)
+
+
 def test_num_fp16_res_runtime_knob(ws):
     """bf16 knob should produce finite images close to the fp32 path."""
     base = ["--init_w", "inv", "--p_thres", "0.0", "--w_lpips", "0.0",
