@@ -17,11 +17,12 @@ downsample with a second FIR filter. Two implementations:
     the TPU analogue of the reference's fused CUDA kernel. Measured on
     a v5e (scripts/probe_flrelu.py, BENCH_NOTES round 5): up to 7.8x
     on the wide-tap small-canvas trunk layers, SLOWER once the VMEM
-    budget forces tiny channel tiles (big canvases) — the auto gate
-    (`set_fused_flrelu(True)` / LATAUG_FUSED_FLRELU=1, TPU-only)
-    engages it only where the tile stays >= _FUSED_MIN_TILE channels.
-    Differentiable: a custom VJP runs the kernel forward and the
-    decomposed formulation's VJP backward.
+    budget forces tiny channel tiles (big canvases). The auto gate —
+    DEFAULT ON, TPU-backend-only, kill switch LATAUG_FUSED_FLRELU=0 /
+    set_fused_flrelu(False) — engages it only where the tile stays
+    >= _FUSED_MIN_TILE channels; net: SG3 256² synthesis +25%, SG3
+    walk +9% (measured). Differentiable: a custom VJP runs the kernel
+    forward and the decomposed formulation's VJP backward.
 """
 
 import functools as _functools
@@ -45,9 +46,15 @@ def set_fused_flrelu(allow):
 
 
 def _fused_enabled():
+    """DEFAULT ON (TPU-backend check is at the call site): measured wins
+    on v5e with the win-regime gate — SG3 256² synthesis 51.2 -> 64.1
+    imgs/s (+25%), SG3 b16 walk 1.62 -> 1.77 samples/s (+9%), BENCH_NOTES
+    round 5. LATAUG_FUSED_FLRELU=0 / set_fused_flrelu(False) is the
+    kill switch (matmul-FIR gate precedent)."""
     if _ALLOW_FUSED is not None:
         return bool(_ALLOW_FUSED)
-    return bool(_os.environ.get("LATAUG_FUSED_FLRELU"))
+    return _os.environ.get("LATAUG_FUSED_FLRELU", "").strip().lower() \
+        not in ("0", "false", "off", "no")
 
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
