@@ -128,6 +128,20 @@ def test_committed_negative_control_fails():
     assert s["d_real_last"] < 0.7
 
 
+def test_second_sustained_configuration_passes():
+    """The round-5 second on-chip run (10 kimg at 128², seed 7 —
+    different resolution AND seed from the run the checker was tuned
+    on) must pass the gate: the dynamics evidence generalizes beyond
+    the single tuned configuration (round-4 VERDICT weak #6/#7)."""
+    from scripts.check_train_run import load_log
+
+    rows = load_log(os.path.join(REPO, "artifacts",
+                                 "sustained_train_r5_128"))
+    s = check_rows(rows, expect_kimg=10.0)
+    assert s["kimg"] >= 10.0
+    assert s["d_real_last"] < 0.7  # D separates at this config too
+
+
 @pytest.mark.slow  # ~4 min CPU: real broken training through the seam
 def test_live_negative_control_run_fails_checker():
     """End-to-end negative control: sustained_train with the flipped-D
