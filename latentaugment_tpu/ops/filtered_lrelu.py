@@ -90,6 +90,7 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     force = impl == 'pallas_fused'
     auto_fuse = (impl == 'auto' and _fused_enabled()
                  and jax.default_backend() == 'tpu')
+    fused_declined = False
     if force or auto_fuse:
         geo = _fused_geometry(x.shape, fu, fd, up, down,
                               (px0, px1, py0, py1),
@@ -104,8 +105,23 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
                           bool(flip_filter))
             assert y.shape == (batch, channels, out_h, out_w)
             return y
+        fused_declined = auto_fuse
         if force:
             impl = 'auto'  # non-separable filters: fall through
+
+    # H-striped path (opt-in, LATAUG_STRIPED_FLRELU=1): covers exactly
+    # the layers the fused kernel's win-regime gate declines (big
+    # canvases), trading ~taps/strip recompute for never materializing
+    # the up-rate canvas — incl. in the backward (per-strip remat).
+    if impl == 'striped' or (fused_declined and _striped_enabled()):
+        y = _filtered_lrelu_striped(x, fu, fd, b, up, down,
+                                    (px0, px1, py0, py1), gain, slope,
+                                    clamp, flip_filter)
+        if y is not None:
+            assert y.shape == (batch, channels, out_h, out_w)
+            return y
+        if impl == 'striped':
+            impl = 'auto'
 
     x = bias_act(x, b)  # bias only, before upsampling (ref :147)
     x = upfirdn2d(x, fu, up=up, padding=[px0, px1, py0, py1],
@@ -194,6 +210,109 @@ def _fused_bwd(up, down, padding, gain, slope, clamp, flip_filter, res,
 
 
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _striped_enabled():
+    return _os.environ.get("LATAUG_STRIPED_FLRELU", "").strip().lower() \
+        not in ("", "0", "false", "off", "no")
+
+
+def _filtered_lrelu_striped(x, fu, fd, b, up, down, padding, gain, slope,
+                            clamp, flip_filter, strip_rows=None,
+                            remat=True):
+    """H-striped banded-matmul filtered_lrelu (pure XLA, differentiable).
+
+    The big-canvas alias-free layers are where (a) the fused Pallas
+    kernel loses (VMEM collapses the channel tile) and (b) the b32 walk
+    compile-OOMs (a single up-rate canvas is ~8.7 GB — BENCH_NOTES
+    round 5). This path computes the output in horizontal strips of
+    `strip_rows` output rows: each strip slices only the input-row
+    window that influences it and contracts strip sub-blocks of the
+    SAME band matrices as the matmul/fused paths, so the full up-rate
+    canvas is never materialized. With remat=True every strip is
+    jax.checkpoint'ed — the BACKWARD holds the full input plus ONE
+    strip's internals instead of the whole canvas, which is the b32
+    memory unlock. Uniform strip shapes via the overlap-at-the-end
+    trick (last strip recomputes a few rows; overlapping writes carry
+    identical values).
+
+    Returns None when inapplicable (non-separable taps, or the image is
+    too small for the window algebra) — caller falls back."""
+    from jax import lax
+
+    if (fu is not None and fu.ndim != 1) or \
+            (fd is not None and fd.ndim != 1):
+        return None
+    px0, px1, py0, py1 = padding
+    n, c, in_h, in_w = (int(s) for s in x.shape)
+    tu = int(fu.shape[0]) if fu is not None else 1
+    td = int(fd.shape[0]) if fd is not None else 1
+    up_w = in_w * up + px0 + px1 - (tu - 1)
+    up_h = in_h * up + py0 + py1 - (tu - 1)
+    out_w = (up_w - td) // down + 1
+    out_h = (up_h - td) // down + 1
+    if min(up_w, up_h, out_w, out_h) <= 0:
+        return None
+    if strip_rows is None:
+        strip_rows = int(_os.environ.get("LATAUG_STRIPED_ROWS", "64"))
+    r_rows = min(int(strip_rows), out_h)
+    lj = (r_rows - 1) * down + td          # up-rows feeding one strip
+    li = (lj + tu - 2) // up + 2           # input rows feeding those
+    if lj > up_h or li > in_h or r_rows <= 0:
+        return None  # image smaller than one strip window: use decomposed
+
+    mwu = _band(fu, tu, in_w, up_w, up, 1, px0, up * up, flip_filter)
+    mhu = _band(fu, tu, in_h, up_h, up, 1, py0, up * up, flip_filter)
+    mwd = _band(fd, td, up_w, out_w, 1, down, 0, 1, flip_filter)
+    mhd = _band(fd, td, up_h, out_h, 1, down, 0, 1, flip_filter)
+    # Same dtype contract as _upfirdn2d_matmul: bf16 inputs with f32
+    # accumulation on the MXU; the CPU dot thunk can't mix bf16->f32,
+    # so only bf16 upcasts there (f32/f64 stay native — an f64 test
+    # must not silently round through f32).
+    mm_dtype = (jnp.float32 if (jax.default_backend() != 'tpu'
+                                and x.dtype == jnp.bfloat16) else x.dtype)
+    acc = jnp.promote_types(mm_dtype, jnp.float32)  # f32 accum; f64 stays f64
+    mwu, mhu = mwu.astype(mm_dtype), mhu.astype(mm_dtype)
+    mwd, mhd = mwd.astype(mm_dtype), mhd.astype(mm_dtype)
+
+    xb = x if b is None else x + b.astype(x.dtype)[None, :, None, None]
+    xb = xb.astype(mm_dtype)
+    slope_f, gain_f = float(slope), float(gain)
+    clamp_v = float(clamp) if clamp is not None else None
+
+    n_strips = -(-out_h // r_rows)
+    r0s = jnp.asarray([min(s * r_rows, out_h - r_rows)
+                       for s in range(n_strips)], jnp.int32)
+
+    def strip(r0):
+        j0 = r0 * down
+        i0 = jnp.clip((j0 - py0) // up, 0, in_h - li)
+        xs = lax.dynamic_slice_in_dim(xb, i0, li, axis=2)
+        mhu_s = lax.dynamic_slice(mhu, (i0, j0), (li, lj))
+        mhd_s = lax.dynamic_slice(mhd, (j0, r0), (lj, r_rows))
+        a = jnp.einsum('nchw,wj->nchj', xs, mwu,
+                       preferred_element_type=acc)
+        a = jnp.einsum('nchw,hj->ncjw', a.astype(mm_dtype), mhu_s,
+                       preferred_element_type=acc)
+        a = jnp.where(a >= 0, a, a * slope_f) * gain_f
+        if clamp_v is not None:
+            a = jnp.clip(a, -clamp_v, clamp_v)
+        d = jnp.einsum('nchw,wj->nchj', a.astype(mm_dtype), mwd,
+                       preferred_element_type=acc)
+        d = jnp.einsum('nchw,hj->ncjw', d.astype(mm_dtype), mhd_s,
+                       preferred_element_type=acc)
+        return d.astype(x.dtype)
+
+    fn = jax.checkpoint(strip) if remat else strip
+    ys = lax.map(fn, r0s)  # [S, N, C, r_rows, W_out]
+
+    out = jnp.zeros((n, c, out_h, out_w), x.dtype)
+
+    def place(i, out):
+        z = r0s[i].astype(r0s.dtype) * 0  # 0 in r0s' int dtype (x64-safe)
+        return lax.dynamic_update_slice(out, ys[i], (z, z, r0s[i], z))
+
+    return lax.fori_loop(0, n_strips, place, out)
 
 
 def _band(f, taps, n_in, n_out, up, down, pad0, gain, flip_filter):

@@ -86,7 +86,7 @@ def main():
                   gain=np.sqrt(2.0), slope=0.2, clamp=256.0)
 
         rows = {}
-        for impl in ("auto", "pallas_fused"):
+        for impl in ("auto", "pallas_fused", "striped"):
             @jax.jit
             def step(x, impl=impl):
                 return filtered_lrelu(x, fu, fd, b, impl=impl, **kw)
@@ -108,10 +108,12 @@ def main():
             except Exception as e:  # lowering/compile failure is a result
                 print(f"[probe_flrelu] L{idx} {impl}: FAILED "
                       f"{type(e).__name__}: {str(e)[:300]}", flush=True)
-        if len(rows) == 2:
-            r = rows["auto"] / rows["pallas_fused"]
-            print(f"[probe_flrelu] L{idx} fused speedup x{r:.2f} "
-                  f"({'fused WINS' if r > 1 else 'decomposed wins'})", flush=True)
+        for name in ("pallas_fused", "striped"):
+            if "auto" in rows and name in rows:
+                r = rows["auto"] / rows[name]
+                print(f"[probe_flrelu] L{idx} {name} speedup x{r:.2f} "
+                      f"({name + ' WINS' if r > 1 else 'decomposed wins'})",
+                      flush=True)
 
 
 if __name__ == "__main__":
