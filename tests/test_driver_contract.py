@@ -56,8 +56,12 @@ def test_package_import_does_not_touch_backend():
 
 @pytest.mark.slow
 def test_bench_json_contract_fresh_subprocess():
-    """bench.py must print exactly one parseable JSON line on stdout with the
-    required keys, in the driver's environment (CPU fallback path here)."""
+    """bench.py stdout must be only parseable result JSON lines in the
+    driver's environment (CPU fallback path here): one or more
+    provisional lines (best-so-far, printed as chains complete — a
+    driver kill mid-protocol still scrapes a number, round-4 VERDICT
+    weak #1) and the FINAL agreed line last, so a last-JSON-line
+    scraper reads the final record."""
     env = _clean_env()
     # Force CPU fallback so the test doesn't burn a 300-500 s TPU compile;
     # bench.py itself handles platform selection when run by the driver.
@@ -66,8 +70,12 @@ def test_bench_json_contract_fresh_subprocess():
                        capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 1, f"expected exactly one stdout line, got: {lines}"
-    rec = json.loads(lines[0])
+    assert 2 <= len(lines) <= 4, f"stdout lines: {lines}"
+    recs = [json.loads(ln) for ln in lines]  # every line must parse
+    for rec in recs[:-1]:
+        assert rec["provisional"] is True and rec["value"] > 0
+    rec = recs[-1]
+    assert "provisional" not in rec  # the scraped (last) line is final
     for key in ("metric", "value", "unit", "vs_baseline", "batch",
                 "oom_fallback"):
         assert key in rec, f"missing key {key!r} in {rec}"
