@@ -60,7 +60,17 @@ def _start_watchdog():
     import threading
 
     global _WATCHDOG_DONE
-    timeout_s = float(os.environ.get("LATAUG_BENCH_WATCHDOG_S", "900"))
+    # Walk mode prints a provisional result at ~100 s (warm), so 900 s
+    # to-first-output is safe there; --policy prints its ONLY line at
+    # the very end (workspace + compile + 4 batches, relay stalls of
+    # 237-706 s observed) and keeps the old 2700 s headroom.
+    mode_default = "2700" if ("--policy" in sys.argv
+                              or os.environ.get("LATAUG_BENCH_POLICY")
+                              or "--train" in sys.argv
+                              or os.environ.get("LATAUG_BENCH_TRAIN")) \
+        else "900"
+    timeout_s = float(os.environ.get("LATAUG_BENCH_WATCHDOG_S",
+                                     mode_default))
     if timeout_s <= 0:
         return
     done = threading.Event()
@@ -205,13 +215,17 @@ def main():
 
                 print(f"[bench] batch {batch} OOM; retrying batch "
                       f"{batch // 2} in a fresh process", file=sys.stderr)
+                # Forward the CLI args AND pin the arch in the env:
+                # a bare re-exec would silently benchmark the default
+                # SG2 walk when `--sg3` OOMs (review round 5).
                 env = dict(os.environ,
                            LATAUG_BENCH_BATCH=str(batch // 2),
+                           LATAUG_BENCH_ARCH=arch,
                            LATAUG_BENCH_OOM_FALLBACK="1")
                 _disarm_watchdog()  # the child arms its own
                 sys.exit(subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env).returncode)
+                    [sys.executable, os.path.abspath(__file__)]
+                    + sys.argv[1:], env=env).returncode)
             raise
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 

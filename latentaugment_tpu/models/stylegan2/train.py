@@ -243,7 +243,9 @@ def make_train_fns(g_cfg, d_cfg, cfg, mesh=None):
         # scripts/check_train_run.py can be proven to FAIL a run whose D
         # unlearns (the checker's thresholds were originally tuned on a
         # single healthy run; tests/test_train_dynamics.py).
-        sign = -1.0 if os.environ.get("LATAUG_NEGCTRL_FLIP_D_SIGN") else 1.0
+        flip = os.environ.get("LATAUG_NEGCTRL_FLIP_D_SIGN", "") \
+            .strip().lower() not in ("", "0", "false", "off", "no")
+        sign = -1.0 if flip else 1.0
         return sign * (loss_gen + loss_real), (loss_gen, loss_real, rt)
 
     def loss_d_r1(dp, aug_real, c):

@@ -338,19 +338,20 @@ def _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain, slope,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if (fu is not None and fu.ndim != 1) or \
-            (fd is not None and fd.ndim != 1):
+    # ONE source of truth for the geometry/VMEM plan: the same helper
+    # the auto gate consults (review round 5 — a retuned gate copy must
+    # not diverge from what the kernel actually tiles with).
+    geo = _fused_geometry(tuple(int(s) for s in x.shape), fu, fd, up,
+                          down, padding, require_win_regime=False)
+    if geo is None:
         return None
     px0, px1, py0, py1 = padding
     n, c, in_h, in_w = (int(s) for s in x.shape)
-    tu = int(fu.shape[0]) if fu is not None else 1
-    td = int(fd.shape[0]) if fd is not None else 1
-    # Up stage output (tmp-rate canvas), then down stage output.
-    up_w = in_w * up + px0 + px1 - (tu - 1)
-    up_h = in_h * up + py0 + py1 - (tu - 1)
-    out_w = (up_w - td) // down + 1
-    out_h = (up_h - td) // down + 1
-    assert up_w > 0 and up_h > 0 and out_w > 0 and out_h > 0
+    tu, td = geo['tu'], geo['td']
+    up_w, up_h = geo['up_w'], geo['up_h']
+    out_w, out_h = geo['out_w'], geo['out_h']
+    bc = geo['bc']
+    m = n * c
 
     # Band matrices (iota-built outside the kernel; the 2-D up gain
     # up**2 splits as `up` per axis — upfirdn2d's convention).
@@ -361,21 +362,6 @@ def _filtered_lrelu_fused(x, fu, fd, b, up, down, padding, gain, slope,
 
     bias = (b if b is not None else jnp.zeros((c,), x.dtype))
     bias = bias.astype(jnp.float32)
-
-    # Channel-tile size bounded by VMEM (lane-padded fp32 footprint of
-    # every intermediate + double-buffered in/out blocks).
-    def padded(h_, w_):
-        return (-(-h_ // 8) * 8) * (-(-w_ // 128) * 128)
-
-    per_ch = (2 * padded(in_h, in_w) + padded(in_h, up_w)
-              + 3 * padded(up_h, up_w) + padded(up_h, out_w)
-              + 2 * padded(out_h, out_w)) * 4
-    bands = (padded(in_w, up_w) + padded(in_h, up_h)
-             + padded(up_w, out_w) + padded(up_h, out_h)) * 4
-    m = n * c
-    bc = max(1, min(m, ((10 << 20) - bands) // max(per_ch, 1)))
-    while m % bc != 0:
-        bc -= 1
 
     slope = float(slope)
     out_gain = float(gain)

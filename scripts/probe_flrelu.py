@@ -26,8 +26,6 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from latentaugment_tpu.models.stylegan3 import networks as n3  # noqa: E402
-from latentaugment_tpu.models.stylegan3.networks import (  # noqa: E402
-    design_lowpass_filter)
 from latentaugment_tpu.ops.filtered_lrelu import filtered_lrelu  # noqa: E402
 
 
@@ -68,12 +66,10 @@ def main():
 
     for idx in idxs:
         layer = cfg.layers[idx]
-        fu = design_lowpass_filter(
-            layer.up_taps, layer.in_cutoff, layer.in_half_width * 2,
-            layer.tmp_sampling_rate)
-        fd = design_lowpass_filter(
-            layer.down_taps, layer.out_cutoff, layer.out_half_width * 2,
-            layer.tmp_sampling_rate)
+        # The PRODUCTION filter designer (incl. radial down filters for
+        # '-r' plans) — a probe-local re-derivation measured the wrong
+        # filter for radial layers (review round 5).
+        fu, fd = n3._layer_filters(layer)
         fu = jnp.asarray(fu) if fu is not None else None
         fd = jnp.asarray(fd) if fd is not None else None
         c = layer.in_channels

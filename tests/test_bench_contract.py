@@ -88,6 +88,28 @@ def test_bench_train_watchdog_kills_probe_subprocess():
 
 
 @pytest.mark.slow
+def test_bench_sg3_lane_cpu_smoke():
+    """LATAUG_BENCH_ARCH=sg3: the alias-free walk lane emits the
+    'sg3_'-prefixed metric through the same provisional+final protocol
+    (the small-plan CPU smoke point — nothing else exercises this
+    branch before the driver's round-end TPU bench)."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = dict(os.environ, LATAUG_BENCH_ARCH="sg3")
+    res = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.startswith("{")]
+    assert 2 <= len(lines) <= 4, res.stdout
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "sg3_augmented_samples_per_sec_cpu_smoke"
+    assert rec["value"] > 0 and "provisional" not in rec
+    assert rec["vs_baseline"] == 0.0  # no comparable reference point
+
+
+@pytest.mark.slow
 def test_bench_policy_cpu_smoke():
     """--policy mode: one JSON line timing the public per-batch protocol
     (set_input -> forward -> get_output) on a synthetic workspace."""
